@@ -1,0 +1,263 @@
+"""SpmvOperator — the kernel dispatch / execution object.
+
+TPU-native re-design of the reference's ``SpmvKernel`` (classes_structs.hpp:
+280-1166): owns the per-precision device matrices, selects the kernel
+implementation from (format x precision x block size x backend), and exposes
+a jitted ``spmv`` plus the x<->y swap used by solve mode. Distribution
+(multi-shard) is layered on top in parallel/distributed.py.
+
+Pipeline (reference init_local_structs, main.cpp:1074-1334):
+  ingest COO -> [jacobi|equilibrate] -> [AP partition] -> convert_to_scs
+  (shared permutation across precisions) -> symmetric column permutation ->
+  device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, dtype_for
+from ..formats.coo import (
+    MtxData,
+    equilibrate_matrix,
+    extract_matrix_min_mean_max,
+    jacobi_scale_matrix,
+)
+from ..formats.scs import ScsData, convert_to_scs, permute_scs_cols
+from ..ops.device_format import DeviceScs, build_device_scs
+from ..ops.spmv_xla import spmv_flat, spmv_tiled
+from ..ops.vectors import from_device_layout, init_x_host, to_device_layout
+from ..precision.partition import partition_precisions
+
+
+def resolve_device(config: Config):
+    """Pick the execution device.
+
+    TPUs have no native f64 (and the axon plugin silently computes f64 as
+    f32), so 'auto' places double-precision work on CPU — the reference's
+    dp path maps to our CPU/jax-f64 validation path (SURVEY.md §7) — and
+    everything else on the accelerator when present.
+    """
+    if config.backend == "cpu":
+        return jax.devices("cpu")[0]
+    if config.backend == "tpu":
+        return jax.devices()[0]
+    # auto
+    needs_f64 = np.dtype(config.working_dtype()) == np.float64
+    default = jax.devices()[0]
+    if needs_f64 and default.platform != "cpu":
+        return jax.devices("cpu")[0]
+    return default
+
+
+def _impl_for(config: Config):
+    """Kernel implementation selection (reference SpmvKernel ctor decision
+    tree, classes_structs.hpp:435-688, collapsed: XLA/Pallas tiling replaces
+    the templated-C dispatch)."""
+    if config.use_pallas:
+        try:
+            from ..ops.pallas_scs import spmv_pallas, pallas_supported
+
+            if pallas_supported():
+                return spmv_pallas
+        except ImportError:
+            pass
+    if config.kernel_format == "crs":
+        return spmv_flat
+    return spmv_tiled
+
+
+@dataclasses.dataclass
+class SpmvOperator:
+    config: Config
+    n_rows: int
+    n_rows_padded: int
+    scs: Dict[str, ScsData]  # host structs per precision
+    devs: Dict[str, DeviceScs]  # device structs per precision
+    old_to_new: np.ndarray
+    matrix_stats: tuple
+    nnz: int
+    n_dropped: int = 0
+    jacobi_diag: Optional[np.ndarray] = None
+    equilib: Optional[tuple] = None
+    device: Optional[object] = None
+    _jit_spmv: Optional[object] = None
+
+    # ----------------------------------------------------------------- build
+
+    @classmethod
+    def from_mtx(cls, config: Config, mtx: MtxData) -> "SpmvOperator":
+        config.validate()
+        mtx = mtx.copy()
+        if not mtx.is_sorted:
+            mtx = mtx.sort_by_row()
+        stats = extract_matrix_min_mean_max(mtx)
+
+        jac = None
+        if config.jacobi_scale:
+            jac = jacobi_scale_matrix(mtx)
+        equilib = None
+        lr = lc = None
+        if config.equilibrate:
+            lr, lc = equilibrate_matrix(mtx)
+            equilib = (lr, lc)
+
+        C = config.chunk_size if config.kernel_format == "scs" else 1
+        sigma = config.sigma if config.kernel_format == "scs" else 1
+
+        n_dropped = 0
+        scs: Dict[str, ScsData] = {}
+        if config.is_ap:
+            subs, n_dropped = partition_precisions(
+                mtx,
+                config.value_type,
+                config.ap_threshold_1,
+                config.ap_threshold_2,
+                equilibrate=config.equilibrate,
+                largest_row_elems=lr,
+                largest_col_elems=lc,
+                dropout=config.dropout,
+                dropout_threshold=config.dropout_threshold,
+            )
+            # highest precision defines the permutation; the rest reuse it
+            # (reference main.cpp:1170-1221)
+            precs = list(subs)
+            primary = convert_to_scs(subs[precs[0]], C, sigma)
+            scs[precs[0]] = primary
+            for p in precs[1:]:
+                scs[p] = convert_to_scs(
+                    subs[p], C, sigma, fixed_permutation=primary.old_to_new_idx
+                )
+        else:
+            prec = config.value_type
+            scs[prec] = convert_to_scs(
+                mtx.astype(dtype_for(prec)), C, sigma
+            )
+
+        primary = next(iter(scs.values()))
+        old_to_new = primary.old_to_new_idx
+        # symmetric column permutation so x can live in permuted order
+        # (reference main.cpp:1308 -> permute_scs_cols)
+        full_perm = np.arange(primary.n_rows_padded, dtype=np.int32)
+        full_perm[: primary.n_rows] = old_to_new
+        for s in scs.values():
+            permute_scs_cols(s, full_perm)
+
+        device = resolve_device(config)
+        devs = {
+            p: build_device_scs(s, tile_elems=config.tile_elems, device=device)
+            for p, s in scs.items()
+        }
+        return cls(
+            config=config,
+            n_rows=mtx.n_rows,
+            n_rows_padded=primary.n_rows_padded,
+            scs=scs,
+            devs=devs,
+            old_to_new=old_to_new,
+            matrix_stats=stats,
+            nnz=mtx.nnz,
+            n_dropped=n_dropped,
+            jacobi_diag=jac,
+            equilib=equilib,
+            device=device,
+        )
+
+    # ------------------------------------------------------------- execution
+
+    @property
+    def working_dtype(self):
+        return self.config.working_dtype()
+
+    def _spmv_fn(self):
+        """Build the jitted spmv closure (precisions summed for AP,
+        colwise layouts vmapped per vector)."""
+        if self._jit_spmv is not None:
+            return self._jit_spmv
+        impl = _impl_for(self.config)
+        devs = self.devs
+        layout = self.config.vector_layout
+        bs = self.config.block_vec_size
+
+        def one(x):
+            y = None
+            for dev in devs.values():
+                yk = impl(dev, x)
+                y = yk if y is None else y + yk
+            return y
+
+        if bs > 1 and layout == "colwise":
+            fn = jax.vmap(one)  # [bs, n_pad] -> [bs, n_pad]
+        else:
+            fn = one
+        self._jit_spmv = jax.jit(fn)
+        return self._jit_spmv
+
+    def spmv(self, x: jax.Array) -> jax.Array:
+        """One y = A x in device layout (permuted/padded)."""
+        return self._spmv_fn()(x)
+
+    def solve(self, x: jax.Array, n_repetitions: int) -> tuple:
+        """Solve mode: n_repetitions of y = A x with x<->y swap (reference
+        main.cpp:528-607 + swap_local_vectors). Returns (x, y) after the
+        final iteration, device layout."""
+        fn = self._spmv_fn()
+
+        def body(carry, _):
+            x, _y = carry
+            y = fn(x)
+            return (y, x), None
+
+        (x_fin, y_fin), _ = jax.lax.scan(
+            body, (x, jnp.zeros_like(x)), None, length=n_repetitions
+        )
+        # after the last spmv the "result" is in x_fin (post-swap), the
+        # input that produced it in y_fin
+        return y_fin, x_fin
+
+    # ------------------------------------------------------------- vectors
+
+    def make_x(self, x_in: Optional[np.ndarray] = None) -> jax.Array:
+        host = init_x_host(
+            self.config,
+            self.n_rows,
+            self.matrix_stats,
+            x_in=x_in,
+            dtype=self.working_dtype,
+        )
+        dev = to_device_layout(
+            host, self.config.vector_layout, self.n_rows_padded, self.old_to_new
+        )
+        if self.device is not None:
+            return jax.device_put(dev, self.device)
+        return jnp.asarray(dev)
+
+    def to_host(self, y: jax.Array) -> np.ndarray:
+        return from_device_layout(
+            np.asarray(y), self.config.vector_layout, self.old_to_new
+        )
+
+    # ------------------------------------------------------------- metrics
+
+    def flops_per_spmv(self) -> int:
+        """Useful flops only, padding excluded (reference main.cpp:521-526)."""
+        return 2 * (self.nnz) * self.config.block_vec_size
+
+    def bytes_per_spmv(self) -> int:
+        """Minimum traffic: matrix stream + x + y (reference memory
+        footprint accounting, main.cpp:655-668)."""
+        total = 0
+        bs = self.config.block_vec_size
+        for p, dev in self.devs.items():
+            total += int(dev.t_values.nbytes + dev.t_col_idxs.nbytes)
+        xw = np.dtype(self.working_dtype).itemsize
+        total += self.n_rows_padded * bs * xw * 2
+        return total
+
+    def beta(self) -> Dict[str, float]:
+        return {p: s.beta for p, s in self.scs.items()}

@@ -1,0 +1,104 @@
+"""Result validation against scipy.sparse (the MKL stand-in).
+
+Re-design of the reference's ``validate_result`` + ``write_result_to_file``
+(write_results.hpp:170-556): the oracle runs the same number of repetitions
+of y = A x (with the x<->y swap) in float64 CSR via scipy — exactly what
+``mkl_dcsrmv`` does there — then reports per-element / max relative and
+absolute differences, L2 norms, and the reference's WARNING/ERROR flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..formats.coo import MtxData
+
+# reference thresholds (write_results.hpp:378-383,422-428)
+REL_ERROR_THRESHOLD = 1e-2
+REL_WARNING_THRESHOLD = 1e-4
+
+# unit-test tolerances (utilities.hpp:30-59, max_rel_error)
+UNIT_TOL = {"dp": 1e-13, "sp": 1e-5, "hp": 1e-2}
+
+
+@dataclasses.dataclass
+class ValidationReport:
+    max_rel_diff: float
+    max_abs_diff: float
+    l2_dist: float  # ||ref - ours||_2
+    rel_l2: float  # l2_dist / ||ref||_2
+    n_compared: int
+    flag: str  # 'OK' | 'WARNING' | 'ERROR'
+
+    @property
+    def ok(self) -> bool:
+        return self.flag != "ERROR"
+
+    def summary(self) -> str:
+        return (
+            f"[{self.flag}] max_rel={self.max_rel_diff:.3e} "
+            f"max_abs={self.max_abs_diff:.3e} l2={self.l2_dist:.3e} "
+            f"rel_l2={self.rel_l2:.3e} over {self.n_compared} elements"
+        )
+
+
+def oracle_solve(
+    mtx: MtxData, x0: np.ndarray, n_repetitions: int
+) -> np.ndarray:
+    """n_repetitions of y = A x with swap, float64 CSR (what the reference
+    does with mkl_dcsrmv per rev, write_results.hpp:519-553)."""
+    A = mtx.to_scipy().tocsr().astype(np.float64)
+    x = np.asarray(x0, dtype=np.float64)
+    for _ in range(n_repetitions):
+        x = A @ x
+    return x
+
+
+def compare(
+    y_ref: np.ndarray, y_ours: np.ndarray
+) -> ValidationReport:
+    y_ref = np.asarray(y_ref, dtype=np.float64).reshape(-1)
+    y_ours = np.asarray(y_ours, dtype=np.float64).reshape(-1)
+    assert y_ref.shape == y_ours.shape
+    diff = np.abs(y_ref - y_ours)
+    denom = np.abs(y_ref)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rel = np.where(denom > 0, diff / denom, np.where(diff > 0, np.inf, 0.0))
+    max_rel = float(rel.max()) if rel.size else 0.0
+    max_abs = float(diff.max()) if diff.size else 0.0
+    l2 = float(np.linalg.norm(diff))
+    ref_l2 = float(np.linalg.norm(y_ref))
+    rel_l2 = l2 / ref_l2 if ref_l2 > 0 else (0.0 if l2 == 0 else np.inf)
+    if not np.isfinite(y_ours).all():
+        # a NaN/Inf result must never validate (e.g. f64 silently computed
+        # as f32 on an accelerator and overflowing)
+        flag = "ERROR"
+    elif max_rel > REL_ERROR_THRESHOLD or not np.isfinite(max_rel):
+        flag = "ERROR"
+    elif max_rel > REL_WARNING_THRESHOLD:
+        flag = "WARNING"
+    else:
+        flag = "OK"
+    return ValidationReport(
+        max_rel_diff=max_rel,
+        max_abs_diff=max_abs,
+        l2_dist=l2,
+        rel_l2=rel_l2,
+        n_compared=y_ref.size,
+        flag=flag,
+    )
+
+
+def validate_solve(
+    mtx: MtxData,
+    x0_host: np.ndarray,
+    y_host: np.ndarray,
+    n_repetitions: int,
+) -> ValidationReport:
+    """Validate a solve-mode result (host order, unpermuted) against the
+    scipy oracle at the reference thresholds."""
+    y_ref = oracle_solve(mtx, x0_host, n_repetitions)
+    return compare(y_ref, y_host)
