@@ -1,0 +1,232 @@
+"""Command-line driver.
+
+Mirrors the reference binary's CLI (parse_cli_inputs, utilities.hpp:
+1047-1545; usage in README.md):
+
+    uspmv <matrix.mtx | Generator,args> <crs|scs> [options]
+
+    -c N                 chunk size C (scs)             [1]
+    -s N                 sigma sorting scope (scs)      [1]
+    -mode b|s            bench | solve                  [b]
+    -rev N               solve repetitions              [1]
+    -bench_time S        bench target seconds           [5.0]
+    -dp|-sp|-hp          uniform precision              [dp]
+    -ap_value_type T     ap[dp_sp]|ap[dp_hp]|ap[sp_hp]|ap[dp_sp_hp]
+    -ap_threshold_1 X    dp/sp (or first) threshold
+    -ap_threshold_2 X    second threshold (3-way)
+    -dropout 0|1         drop tiny elements (we implement it; the
+                         reference parses but ignores it)
+    -dropout_threshold X
+    -block_vec_size N    SpMMV width                    [1]
+    -layout L            rowwise|colwise                [colwise]
+    -rand_x 0|1|m        x init: default|random|matrix-mean
+    -equilibrate 0|1     row/col max-abs scaling
+    -seg_method M        seg-rows|seg-nnz|seg-metis
+    -n_shards N          devices along the row mesh axis [1]
+    -comm_mode M         bulkvec|multivec|singlevec|allgather
+    -comm_halos 0|1, -ba_synch 0|1, -par_pack 0|1, -no_pack 0|1
+    -print_comm_vol 0|1
+    -validate 0|1        solve-mode scipy validation    [1]
+    -verbose 0|1
+    -matrix_stats        print matrix statistics and exit
+    -output_sparsity     dump per-precision SCS .mtx and exit
+    -backend auto|cpu|tpu
+    -impl auto|xla       kernel implementation (auto = pallas on TPU)
+    -mtx_out DIR         report/output directory        [.]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from .config import Config
+from .formats.stats import get_matrix_stats
+from .io.generators import generate_matrix
+from .io.mmio import read_mtx
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="uspmv",
+        description="TPU-native Ultimate-SpMV: SELL-C-sigma SpMV/SpMMV "
+        "benchmarking and validation",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("matrix", help=".mtx file or generator spec 'Name,args'")
+    p.add_argument("kernel_format", choices=["crs", "scs"])
+    p.add_argument("-c", type=int, default=1, dest="chunk_size")
+    p.add_argument("-s", type=int, default=1, dest="sigma")
+    p.add_argument("-mode", choices=["b", "s"], default="b")
+    p.add_argument("-rev", type=int, default=1, dest="n_repetitions")
+    p.add_argument("-bench_time", type=float, default=5.0)
+    prec = p.add_mutually_exclusive_group()
+    prec.add_argument("-dp", action="store_true")
+    prec.add_argument("-sp", action="store_true")
+    prec.add_argument("-hp", action="store_true")
+    prec.add_argument(
+        "-ap_value_type",
+        choices=["ap[dp_sp]", "ap[dp_hp]", "ap[sp_hp]", "ap[dp_sp_hp]"],
+        default=None,
+    )
+    p.add_argument("-ap_threshold_1", type=float, default=0.0)
+    p.add_argument("-ap_threshold_2", type=float, default=0.0)
+    p.add_argument("-dropout", type=int, choices=[0, 1], default=0)
+    p.add_argument("-dropout_threshold", type=float, default=0.0)
+    p.add_argument("-block_vec_size", type=int, default=1)
+    p.add_argument("-layout", choices=["rowwise", "colwise"], default="colwise")
+    p.add_argument("-rand_x", choices=["0", "1", "m"], default="0")
+    p.add_argument("-equilibrate", type=int, choices=[0, 1], default=0)
+    p.add_argument("-jacobi_scale", type=int, choices=[0, 1], default=0)
+    p.add_argument(
+        "-seg_method",
+        choices=["seg-rows", "seg-nnz", "seg-metis"],
+        default="seg-rows",
+    )
+    p.add_argument("-n_shards", type=int, default=1)
+    p.add_argument(
+        "-comm_mode",
+        choices=["bulkvec", "multivec", "singlevec", "allgather"],
+        default="bulkvec",
+    )
+    p.add_argument("-comm_halos", type=int, choices=[0, 1], default=1)
+    p.add_argument("-ba_synch", type=int, choices=[0, 1], default=1)
+    p.add_argument("-par_pack", type=int, choices=[0, 1], default=1)
+    p.add_argument("-no_pack", type=int, choices=[0, 1], default=0)
+    p.add_argument("-print_comm_vol", type=int, choices=[0, 1], default=0)
+    p.add_argument("-validate", type=int, choices=[0, 1], default=1)
+    p.add_argument("-verbose", type=int, choices=[0, 1], default=0)
+    p.add_argument("-matrix_stats", action="store_true")
+    p.add_argument("-output_sparsity", action="store_true")
+    p.add_argument("-backend", choices=["auto", "cpu", "tpu"], default="auto")
+    p.add_argument("-impl", choices=["auto", "xla"], default="auto")
+    p.add_argument("-mtx_out", default=".", dest="output_dir")
+    p.add_argument("-seed", type=int, default=42)
+    p.add_argument("-json", action="store_true", help="print result as JSON")
+    return p
+
+
+def config_from_args(args) -> Config:
+    if args.ap_value_type:
+        value_type = args.ap_value_type
+    elif args.sp:
+        value_type = "sp"
+    elif args.hp:
+        value_type = "hp"
+    else:
+        value_type = "dp"
+    return Config(
+        chunk_size=args.chunk_size if args.kernel_format == "scs" else 1,
+        sigma=args.sigma if args.kernel_format == "scs" else 1,
+        kernel_format=args.kernel_format,
+        value_type=value_type,
+        block_vec_size=args.block_vec_size,
+        vector_layout=args.layout,
+        random_init_x=(args.rand_x == "1"),
+        mode=args.mode,
+        n_repetitions=args.n_repetitions,
+        bench_time=args.bench_time,
+        validate_result=bool(args.validate),
+        verbose=bool(args.verbose),
+        ap_threshold_1=args.ap_threshold_1,
+        ap_threshold_2=args.ap_threshold_2,
+        dropout=bool(args.dropout),
+        dropout_threshold=args.dropout_threshold,
+        equilibrate=bool(args.equilibrate),
+        jacobi_scale=bool(args.jacobi_scale),
+        seg_method=args.seg_method,
+        comm_mode=args.comm_mode,
+        comm_halos=bool(args.comm_halos),
+        ba_synch=bool(args.ba_synch),
+        par_pack=bool(args.par_pack),
+        no_pack=bool(args.no_pack),
+        print_comm_vol=bool(args.print_comm_vol),
+        n_shards=args.n_shards,
+        backend=args.backend,
+        use_pallas=(args.impl == "auto"),
+        output_dir=args.output_dir,
+        matrix_file_name=args.matrix,
+        seed=args.seed,
+    )
+
+
+def load_matrix(spec: str):
+    if spec.endswith(".mtx"):
+        return read_mtx(spec)
+    return generate_matrix(spec)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    cfg.validate()
+
+    mtx = load_matrix(args.matrix)
+    if args.matrix_stats:
+        print(get_matrix_stats(mtx).summary())
+        return 0
+
+    from .runtime.operator import SpmvOperator
+    from .runtime.bench import bench_spmv
+    from .runtime.report import (
+        format_bench_block,
+        format_result_block,
+        write_bench_to_file,
+        write_result_to_file,
+    )
+    from .runtime.validate import validate_solve
+
+    if cfg.n_shards > 1:
+        from .parallel.distributed import DistributedSpmvOperator
+
+        op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+    else:
+        op = SpmvOperator.from_mtx(cfg, mtx)
+
+    if args.output_sparsity:
+        # reference OUTPUT_SPARSITY: dump per-precision SCS and exit
+        for path in op.dump_sparsity(cfg.output_dir):
+            print(f"wrote {path}")
+        return 0
+
+    if cfg.mode == "b":
+        res = bench_spmv(op)
+        write_bench_to_file(cfg, res)
+        if args.json:
+            print(json.dumps(res.to_dict()))
+        else:
+            print(format_bench_block(cfg, res))
+        return 0
+
+    # solve mode
+    from .ops.vectors import init_x_host
+
+    x0 = init_x_host(
+        cfg, op.n_rows, op.matrix_stats, dtype=np.float64
+    )
+    xd = op.make_x(x0)
+    _, y = op.solve(xd, cfg.n_repetitions)
+    y_host = op.to_host(y)
+    if cfg.validate_result:
+        rep = validate_solve(mtx, x0, np.asarray(y_host, dtype=np.float64), cfg.n_repetitions)
+        write_result_to_file(cfg, rep, cfg.n_repetitions)
+        if args.json:
+            print(json.dumps({"validation": dataclass_dict(rep)}))
+        else:
+            print(format_result_block(cfg, rep, cfg.n_repetitions))
+        return 0 if rep.ok else 1
+    print("solve completed (validation disabled)")
+    return 0
+
+
+def dataclass_dict(obj):
+    import dataclasses
+
+    return dataclasses.asdict(obj)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

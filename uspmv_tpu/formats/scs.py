@@ -116,26 +116,31 @@ class ScsData:
             self.values.copy(),
         )
 
-    def write_to_mtx_file(self, path: str) -> None:
+    def write_to_mtx_file(self, path: str, col_unperm=None) -> None:
         """Dump the (padded) SCS structure back to MatrixMarket, original row
         order, dropping explicit padding (reference OUTPUT_SPARSITY /
-        ScsData::write_to_mtx_file, classes_structs.hpp:1758-1790)."""
+        ScsData::write_to_mtx_file, classes_structs.hpp:1758-1790).
+
+        ``col_unperm`` (new->old) inverts a prior symmetric column
+        permutation (permute_scs_cols) so the dump is in original indices.
+        """
         from ..io.mmio import write_mtx
 
         rows = self.flat_row_idx()
-        keep = np.zeros(self.n_elements, dtype=bool)
         # padding elements have value 0 AND were never written; real zeros
         # cannot be distinguished, so (like the reference, which writes only
         # nonzeros it finds) we drop exact zeros.
         keep = self.values.astype(np.float64) != 0.0
-        valid_row = self.new_to_old_idx[rows] >= 0
-        keep &= valid_row
+        keep &= self.new_to_old_idx[rows] >= 0
         orig_rows = self.new_to_old_idx[rows[keep]]
+        cols = self.col_idxs[keep]
+        if col_unperm is not None:
+            cols = np.asarray(col_unperm, dtype=np.int32)[cols]
         write_mtx(
             path,
             MtxData.from_arrays(
                 orig_rows,
-                self.col_idxs[keep],
+                cols,
                 self.values[keep],
                 n_rows=self.n_rows,
                 n_cols=self.n_cols,

@@ -1,0 +1,145 @@
+"""Benchmark harness.
+
+Replicates the reference's measurement methodology (bench_spmv,
+main.cpp:50-798; SURVEY.md §6):
+
+  * warm-up repetitions (reference WARM_UP_REPS = 100, main.cpp:22);
+  * a doubling timed loop — run n_iter iterations, double n_iter until the
+    elapsed time reaches ``bench_time`` (default 5 s, main.cpp:449-519);
+  * perf_gflops = nnz * 2 * block_vec_size * n_iter / t / 1e9 — useful
+    flops only, padding excluded (main.cpp:521-526);
+  * effective GB/s from the same byte accounting the reference uses with
+    LIKWID (values + col_idxs streams + x + y, main.cpp:655-668).
+
+TPU specifics: iterations run inside one jitted ``fori_loop`` with a dynamic
+trip count (no recompiles while doubling) and a per-iteration epsilon added
+to x (runtime zeros) so XLA cannot hoist the loop-invariant SpMV out of the
+loop. ``block_until_ready`` is the reference's barrier/timing fence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .operator import SpmvOperator
+
+WARM_UP_REPS = 100  # reference main.cpp:22
+_EPS_LEN = 256
+
+
+@dataclasses.dataclass
+class BenchResult:
+    """Mirrors the reference Result struct (classes_structs.hpp:1812-1888)."""
+
+    perf_gflops: float
+    effective_gbps: float
+    duration_total_s: float
+    duration_kernel_s: float
+    n_iterations: int
+    nnz: int
+    block_vec_size: int
+    value_type: str
+    kernel_format: str
+    C: int
+    sigma: int
+    beta: Dict[str, float]
+    device_beta: Dict[str, float]
+    nnz_per_precision: Dict[str, int]
+    memory_footprint_bytes: int
+    n_rows: int
+    platform: str
+    comm_volume_elems: int = 0  # halo elements received per SpMV (distributed)
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        return d
+
+
+def _make_runner(op: SpmvOperator):
+    """jitted (x, eps, n) -> y running n chained SpMVs; eps (zeros at
+    runtime) varies per iteration to defeat CSE/LICM."""
+    fn = op._spmv_fn()
+
+    def run(x, eps, n):
+        y0 = fn(x)
+
+        def body(i, y_prev):
+            return fn(x + eps[i % _EPS_LEN])
+
+        return jax.lax.fori_loop(1, n, body, y0)
+
+    return jax.jit(run)
+
+
+def bench_spmv(
+    op: SpmvOperator,
+    x: Optional[jax.Array] = None,
+    bench_time: Optional[float] = None,
+    warmup: int = WARM_UP_REPS,
+    start_iters: int = 10,
+) -> BenchResult:
+    if x is None:
+        x = op.make_x()
+    bench_time = bench_time if bench_time is not None else op.config.bench_time
+    runner = _make_runner(op)
+    eps = jnp.zeros((_EPS_LEN,), dtype=x.dtype)
+    if op.device is not None:
+        eps = jax.device_put(eps, op.device)
+
+    # warm-up (compile + cache warm), excluded from timing
+    jax.block_until_ready(runner(x, eps, min(warmup, 1)))
+    if warmup > 1:
+        jax.block_until_ready(runner(x, eps, warmup))
+
+    n_iter = max(1, start_iters)
+    t_total0 = time.perf_counter()
+    while True:
+        t0 = time.perf_counter()
+        y = jax.block_until_ready(runner(x, eps, n_iter))
+        elapsed = time.perf_counter() - t0
+        if elapsed >= bench_time:
+            break
+        n_iter *= 2
+    t_total = time.perf_counter() - t_total0
+
+    bs = op.config.block_vec_size
+    flops = 2.0 * op.nnz * bs * n_iter
+    gflops = flops / elapsed / 1e9
+
+    # effective traffic: matrix stream (values+cols once per spmv) + x + y
+    mat_bytes = 0
+    for dev in op.devs.values():
+        mat_bytes += int(dev.t_values.nbytes + dev.t_col_idxs.nbytes)
+    vec_bytes = int(
+        op.n_rows_padded * bs * np.dtype(op.working_dtype).itemsize * 2
+    )
+    gbps = (mat_bytes + vec_bytes) * n_iter / elapsed / 1e9
+
+    platform = (
+        op.device.platform if op.device is not None else jax.devices()[0].platform
+    )
+    return BenchResult(
+        perf_gflops=gflops,
+        effective_gbps=gbps,
+        duration_total_s=t_total,
+        duration_kernel_s=elapsed,
+        n_iterations=n_iter,
+        nnz=op.nnz,
+        block_vec_size=bs,
+        value_type=op.config.value_type,
+        kernel_format=op.config.kernel_format,
+        C=op.config.chunk_size,
+        sigma=op.config.sigma,
+        beta={p: s.beta for p, s in op.scs.items()},
+        device_beta={p: d.device_beta for p, d in op.devs.items()},
+        nnz_per_precision={p: s.nnz for p, s in op.scs.items()},
+        memory_footprint_bytes=op.bytes_per_spmv(),
+        n_rows=op.n_rows,
+        platform=platform,
+    )

@@ -261,3 +261,16 @@ class SpmvOperator:
 
     def beta(self) -> Dict[str, float]:
         return {p: s.beta for p, s in self.scs.items()}
+
+    def dump_sparsity(self, outdir: str) -> list:
+        """OUTPUT_SPARSITY analogue (reference main.cpp:1225-1254): dump each
+        precision's SCS struct back to .mtx in original row/col indices."""
+        import os
+
+        primary = next(iter(self.scs.values()))
+        paths = []
+        for p, s in self.scs.items():
+            path = os.path.join(outdir, f"{p}_local_scs.mtx")
+            s.write_to_mtx_file(path, col_unperm=primary.new_to_old_idx)
+            paths.append(path)
+        return paths

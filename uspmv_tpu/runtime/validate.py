@@ -72,13 +72,21 @@ def compare(
     l2 = float(np.linalg.norm(diff))
     ref_l2 = float(np.linalg.norm(y_ref))
     rel_l2 = l2 / ref_l2 if ref_l2 > 0 else (0.0 if l2 == 0 else np.inf)
+    # Flagging uses a robust relative error: the denominator is floored at
+    # 1e-12 * ||ref||_inf so oracle elements that cancel to exactly zero do
+    # not produce an infinite relative diff. (Deviation from the reference,
+    # which divides by |mkl| directly — write_results.hpp:354-431 — and
+    # would print inf there too; thresholds are otherwise identical.)
+    ref_inf = float(denom.max()) if denom.size else 0.0
+    robust_rel = diff / np.maximum(denom, max(1e-12 * ref_inf, 1e-300))
+    max_robust = float(robust_rel.max()) if robust_rel.size else 0.0
     if not np.isfinite(y_ours).all():
         # a NaN/Inf result must never validate (e.g. f64 silently computed
         # as f32 on an accelerator and overflowing)
         flag = "ERROR"
-    elif max_rel > REL_ERROR_THRESHOLD or not np.isfinite(max_rel):
+    elif max_robust > REL_ERROR_THRESHOLD or not np.isfinite(max_robust):
         flag = "ERROR"
-    elif max_rel > REL_WARNING_THRESHOLD:
+    elif max_robust > REL_WARNING_THRESHOLD:
         flag = "WARNING"
     else:
         flag = "OK"
