@@ -1,0 +1,248 @@
+"""Distribution layer tests.
+
+Mirrors the reference's strategy of testing multi-rank logic without a real
+cluster (tests.cpp:282-438 runs collect_local_needed_heri rank-by-rank with
+a hand-crafted work_sharing_arr): the halo analyzer is tested rank-simulated
+in numpy, and the full sharded operator runs on the 8-virtual-device CPU
+mesh (conftest forces xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+
+from uspmv_tpu.config import Config
+from uspmv_tpu.formats.coo import MtxData
+from uspmv_tpu.formats.scs import convert_to_scs
+from uspmv_tpu.io.generators import laplace2d, random_imbalanced
+from uspmv_tpu.io.mmio import read_mtx
+from uspmv_tpu.parallel.halo import build_halo_plan
+from uspmv_tpu.parallel.partition import seg_work_sharing
+from uspmv_tpu.parallel.distributed import DistributedSpmvOperator
+from uspmv_tpu.runtime.validate import compare, validate_solve
+
+from conftest import matrix_path
+
+
+# ------------------------------------------------------------- partitioner
+
+
+def test_seg_rows_balanced():
+    mtx = laplace2d(16)
+    ws, perm = seg_work_sharing(mtx, 4, "seg-rows")
+    assert perm is None
+    assert ws[0] == 0 and ws[-1] == mtx.n_rows
+    sizes = np.diff(ws)
+    assert sizes.max() - sizes.min() <= 1
+
+
+def test_seg_nnz_balances_nonzeros():
+    mtx = random_imbalanced(400, 8, seed=3)
+    ws, _ = seg_work_sharing(mtx, 4, "seg-nnz")
+    counts = np.bincount(mtx.I, minlength=mtx.n_rows)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    per_shard = np.diff(cum[ws])
+    # nnz balance should be much better than row balance would give
+    assert per_shard.max() / per_shard.mean() < 1.5
+    assert np.all(np.diff(ws) > 0)
+
+
+def test_seg_metis_returns_permutation():
+    mtx = laplace2d(12)
+    ws, perm = seg_work_sharing(mtx, 3, "seg-metis")
+    assert perm is not None
+    assert sorted(perm.tolist()) == list(range(mtx.n_rows))
+    assert ws[-1] == mtx.n_rows
+
+
+# ------------------------------------------------------ halo analyzer (rank-simulated)
+
+
+def tiny_matrix():
+    # 6x6 with known cross-shard couplings
+    a = np.zeros((6, 6))
+    a[0, 0] = 1.0
+    a[0, 3] = 2.0  # shard0 needs col 3 (owned by shard1)
+    a[1, 1] = 3.0
+    a[2, 2] = 4.0
+    a[2, 5] = 5.0  # shard0 needs col 5 (owned by shard1)
+    a[3, 0] = 6.0  # shard1 needs col 0 (owned by shard0)
+    a[3, 3] = 7.0
+    a[4, 4] = 8.0
+    a[5, 2] = 9.0  # shard1 needs col 2 (owned by shard0)
+    a[5, 5] = 10.0
+    return MtxData.from_scipy(sp.coo_matrix(a)).sort_by_row()
+
+
+def test_halo_plan_tiny():
+    mtx = tiny_matrix()
+    ws = np.array([0, 3, 6])
+    scs_list = [
+        convert_to_scs(mtx.slice_rows(0, 3), 1, 1),
+        convert_to_scs(mtx.slice_rows(3, 6), 1, 1),
+    ]
+    plan = build_halo_plan(scs_list, ws)
+    assert plan.halo_counts == [2, 2]  # {3,5} and {0,2}
+    np.testing.assert_array_equal(plan.recv_counts, [[0, 2], [2, 0]])
+    assert plan.comm_volume_per_spmv == 4
+    assert plan.offsets == [1]
+    # shard0 sends cols {0,2} -> its own permuted positions (identity, C=1)
+    np.testing.assert_array_equal(plan.send_gather_idx[1][0], [0, 2])
+    # shard1 sends cols {3,5} -> local {0,2}
+    np.testing.assert_array_equal(plan.send_gather_idx[1][1], [0, 2])
+    # halo region starts at n_rows_padded=3 on both shards
+    np.testing.assert_array_equal(plan.recv_scatter_idx[1][0], [3, 4])
+    np.testing.assert_array_equal(plan.recv_scatter_idx[1][1], [3, 4])
+    # col renumbering: remote cols now point into the halo
+    assert scs_list[0].col_idxs.max() == 4  # 3 + index of col5 in {3,5}
+
+
+def test_halo_plan_numpy_simulation_matches_spmv():
+    # execute the plan by hand in numpy and check the distributed SpMV
+    mtx = random_imbalanced(60, 5, seed=9)
+    R = 3
+    ws, _ = seg_work_sharing(mtx, R, "seg-rows")
+    scs_list = [
+        convert_to_scs(mtx.slice_rows(int(ws[r]), int(ws[r + 1])), 4, 8)
+        for r in range(R)
+    ]
+    perms = [s.old_to_new_idx for s in scs_list]
+    plan = build_halo_plan(scs_list, ws)
+    x = np.random.default_rng(4).standard_normal(mtx.n_rows)
+
+    # per-shard x buffers
+    xbufs = []
+    for r in range(R):
+        xb = np.zeros(plan.H + 1)
+        lo, hi = int(ws[r]), int(ws[r + 1])
+        xb[perms[r]] = x[lo:hi]
+        xbufs.append(xb)
+    # the exchange
+    for d in plan.offsets:
+        for r in range(R):
+            dst = (r + d) % R
+            buf = xbufs[r][plan.send_gather_idx[d][r]]
+            xbufs[dst][plan.recv_scatter_idx[d][dst]] = buf
+    for xb in xbufs:
+        xb[plan.H] = 0.0  # dump slot
+
+    y = np.zeros(mtx.n_rows)
+    for r in range(R):
+        yp = scs_list[r].spmv_reference(xbufs[r])
+        lo, hi = int(ws[r]), int(ws[r + 1])
+        y[lo:hi] = yp[perms[r]]
+    y_ref = mtx.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
+
+
+# --------------------------------------------------- sharded operator end2end
+
+
+N_DEV = 8
+
+
+def dist_op(mtx, **kw):
+    cfg = Config(backend="cpu", use_pallas=False, **kw)
+    return DistributedSpmvOperator.from_mtx(cfg, mtx)
+
+
+@pytest.mark.parametrize("comm_mode", ["bulkvec", "allgather"])
+@pytest.mark.parametrize("seg", ["seg-rows", "seg-nnz", "seg-metis"])
+def test_distributed_spmv_matches_scipy(comm_mode, seg):
+    mtx = read_mtx(matrix_path("FDM-2d-16.mtx"))
+    op = dist_op(
+        mtx, kernel_format="scs", chunk_size=4, sigma=8, value_type="dp",
+        n_shards=4, comm_mode=comm_mode, seg_method=seg,
+    )
+    x = np.random.default_rng(0).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    y_ref = mtx.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_distributed_8_shards_crs():
+    mtx = laplace2d(20)
+    op = dist_op(mtx, kernel_format="crs", value_type="dp", n_shards=N_DEV,
+                 comm_mode="bulkvec")
+    x = np.random.default_rng(1).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    np.testing.assert_allclose(y, mtx.to_scipy().tocsr() @ x, rtol=1e-12)
+    vol = op.comm_volume_per_spmv()["dp"]
+    # 2D Laplacian split by rows: each interior shard needs 2 halo rows of
+    # 20 cols each from each neighbor
+    assert vol["real"] > 0
+    assert vol["real"] <= 2 * N_DEV * 20
+
+
+def test_distributed_solve_validates():
+    mtx = read_mtx(matrix_path("FDM-2d-16.mtx"))
+    op = dist_op(
+        mtx, kernel_format="scs", chunk_size=4, sigma=4, value_type="dp",
+        n_shards=4, mode="s",
+    )
+    x0 = np.random.default_rng(2).standard_normal(mtx.n_rows)
+    _, y = op.solve(op.make_x(x0), 4)
+    rep = validate_solve(mtx, x0, np.asarray(op.to_host(y), dtype=np.float64), 4)
+    assert rep.flag == "OK", rep.summary()
+
+
+def test_distributed_block_vectors_rowwise():
+    mtx = read_mtx(matrix_path("FDM-2d-16.mtx"))
+    op = dist_op(
+        mtx, kernel_format="scs", chunk_size=4, sigma=8, value_type="sp",
+        n_shards=4, block_vec_size=3, vector_layout="rowwise",
+    )
+    x = np.random.default_rng(3).standard_normal((mtx.n_rows, 3))
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    assert compare(ref, y).max_rel_diff < 1e-4
+
+
+def test_distributed_block_vectors_colwise_singlevec():
+    mtx = read_mtx(matrix_path("FDM-2d-16.mtx"))
+    op = dist_op(
+        mtx, kernel_format="scs", chunk_size=4, sigma=8, value_type="sp",
+        n_shards=2, block_vec_size=3, vector_layout="colwise",
+        comm_mode="bulkvec",
+    )
+    x = np.random.default_rng(3).standard_normal((mtx.n_rows, 3))
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    assert compare(ref, y).max_rel_diff < 1e-4
+
+
+def test_distributed_adaptive_precision():
+    mtx = read_mtx(matrix_path("bcsstk13.mtx"))
+    # the reference REJECTS ap+MPI (utilities.hpp:1446-1451); we support it
+    op = dist_op(
+        mtx, kernel_format="scs", chunk_size=8, sigma=16,
+        value_type="ap[dp_sp]", ap_threshold_1=1e-3, n_shards=4,
+    )
+    x = np.random.default_rng(5).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    rep = compare(ref, y)
+    assert rep.rel_l2 < 1e-8, rep.summary()
+
+
+def test_comm_halos_off_gives_wrong_results():
+    # benchmark knob: -comm_halos 0 skips the exchange entirely
+    mtx = read_mtx(matrix_path("FDM-2d-16.mtx"))
+    op = dist_op(
+        mtx, kernel_format="scs", chunk_size=4, sigma=4, value_type="dp",
+        n_shards=4, comm_halos=False,
+    )
+    x = np.ones(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    y_ref = mtx.to_scipy().tocsr() @ x
+    assert not np.allclose(y, y_ref)  # halo contributions missing
+
+
+def test_single_shard_degenerates():
+    mtx = read_mtx(matrix_path("impcol_e.mtx"))
+    op = dist_op(mtx, kernel_format="scs", chunk_size=8, sigma=8,
+                 value_type="dp", n_shards=1)
+    x = np.random.default_rng(6).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    np.testing.assert_allclose(y, mtx.to_scipy().tocsr() @ x, rtol=1e-12)

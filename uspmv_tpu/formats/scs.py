@@ -44,6 +44,9 @@ class ScsData:
     old_to_new_idx: np.ndarray  # int32 [n_rows] -> [0, n_rows_padded)
     new_to_old_idx: np.ndarray  # int32 [n_rows_padded], -1 at padded slots
     n_cols: int = 0
+    # nnz per *permuted* row — distinguishes structural zero-padding
+    # elements from stored zeros (needed by the halo analyzer)
+    row_counts_new: Optional[np.ndarray] = None
 
     @property
     def beta(self) -> float:
@@ -75,6 +78,23 @@ class ScsData:
             span = np.arange(lo, hi, dtype=np.int64)
             rows[lo:hi] = (c * self.C + (span - lo) % self.C).astype(np.int32)
         return rows
+
+    def element_coords(self):
+        """(chunk, j, i) of every flat element, vectorized."""
+        cp = self.chunk_ptrs.astype(np.int64)
+        e = np.arange(self.n_elements, dtype=np.int64)
+        chunk = np.searchsorted(cp, e, side="right") - 1
+        off = e - cp[chunk]
+        return chunk, off // self.C, off % self.C
+
+    def padding_mask(self) -> np.ndarray:
+        """True at structural zero-padding elements (j beyond the row's
+        nnz count)."""
+        if self.row_counts_new is None:
+            raise ValueError("row_counts_new not recorded for this ScsData")
+        chunk, j, i = self.element_coords()
+        rows = chunk * self.C + i
+        return j >= self.row_counts_new[rows]
 
     def to_dense(self) -> np.ndarray:
         """Dense (n_rows, n_cols) reconstruction in original row order."""
@@ -278,6 +298,7 @@ def convert_to_scs(
         old_to_new_idx=old_to_new.astype(np.int32),
         new_to_old_idx=new_to_old,
         n_cols=mtx.n_cols,
+        row_counts_new=counts_sorted.astype(np.int32),
     )
 
 

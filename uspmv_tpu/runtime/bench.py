@@ -89,8 +89,9 @@ def bench_spmv(
     bench_time = bench_time if bench_time is not None else op.config.bench_time
     runner = _make_runner(op)
     eps = jnp.zeros((_EPS_LEN,), dtype=x.dtype)
-    if op.device is not None:
-        eps = jax.device_put(eps, op.device)
+    device = getattr(op, "device", None)
+    if device is not None:
+        eps = jax.device_put(eps, device)
 
     # warm-up (compile + cache warm), excluded from timing
     jax.block_until_ready(runner(x, eps, min(warmup, 1)))
@@ -121,9 +122,13 @@ def bench_spmv(
     )
     gbps = (mat_bytes + vec_bytes) * n_iter / elapsed / 1e9
 
+    device = getattr(op, "device", None)
     platform = (
-        op.device.platform if op.device is not None else jax.devices()[0].platform
+        device.platform if device is not None
+        else next(iter(op.devs.values())).values.devices().pop().platform
     )
+    comm = op.comm_volume_per_spmv()
+    comm_elems = sum(v["real"] for v in comm.values()) if comm else 0
     return BenchResult(
         perf_gflops=gflops,
         effective_gbps=gbps,
@@ -136,10 +141,11 @@ def bench_spmv(
         kernel_format=op.config.kernel_format,
         C=op.config.chunk_size,
         sigma=op.config.sigma,
-        beta={p: s.beta for p, s in op.scs.items()},
-        device_beta={p: d.device_beta for p, d in op.devs.items()},
-        nnz_per_precision={p: s.nnz for p, s in op.scs.items()},
+        beta=op.beta(),
+        device_beta=op.device_beta(),
+        nnz_per_precision=op.nnz_per_precision(),
         memory_footprint_bytes=op.bytes_per_spmv(),
         n_rows=op.n_rows,
         platform=platform,
+        comm_volume_elems=comm_elems,
     )

@@ -174,11 +174,9 @@ class SpmvOperator:
     def working_dtype(self):
         return self.config.working_dtype()
 
-    def _spmv_fn(self):
-        """Build the jitted spmv closure (precisions summed for AP,
-        colwise layouts vmapped per vector)."""
-        if self._jit_spmv is not None:
-            return self._jit_spmv
+    def build_spmv_closure(self):
+        """The unjitted spmv function (precisions summed for AP, colwise
+        layouts vmapped per vector)."""
         impl = _impl_for(self.config)
         devs = self.devs
         layout = self.config.vector_layout
@@ -192,10 +190,12 @@ class SpmvOperator:
             return y
 
         if bs > 1 and layout == "colwise":
-            fn = jax.vmap(one)  # [bs, n_pad] -> [bs, n_pad]
-        else:
-            fn = one
-        self._jit_spmv = jax.jit(fn)
+            return jax.vmap(one)  # [bs, n_pad] -> [bs, n_pad]
+        return one
+
+    def _spmv_fn(self):
+        if self._jit_spmv is None:
+            self._jit_spmv = jax.jit(self.build_spmv_closure())
         return self._jit_spmv
 
     def spmv(self, x: jax.Array) -> jax.Array:
@@ -261,6 +261,15 @@ class SpmvOperator:
 
     def beta(self) -> Dict[str, float]:
         return {p: s.beta for p, s in self.scs.items()}
+
+    def device_beta(self) -> Dict[str, float]:
+        return {p: d.device_beta for p, d in self.devs.items()}
+
+    def nnz_per_precision(self) -> Dict[str, int]:
+        return {p: s.nnz for p, s in self.scs.items()}
+
+    def comm_volume_per_spmv(self) -> dict:
+        return {}
 
     def dump_sparsity(self, outdir: str) -> list:
         """OUTPUT_SPARSITY analogue (reference main.cpp:1225-1254): dump each
