@@ -43,10 +43,13 @@ def main() -> int:
     from uspmv_tpu.runtime.operator import SpmvOperator
 
     mtx = laplace3d(64)  # 262k rows, ~1.8M nnz
+    # C=1024 is the TPU-native chunk height (8 sublanes x 128 lanes, the
+    # lane-tile Pallas kernel); sigma=1 preserves the stencil's diagonal
+    # slope so gather windows stay tight (SURVEY.md §7 C/sigma mapping)
     cfg = Config(
         kernel_format="scs",
-        chunk_size=16,
-        sigma=512,
+        chunk_size=1024,
+        sigma=1,
         value_type="sp",
         bench_time=3.0,
         use_pallas=True,
@@ -60,7 +63,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "scs_spmv_effective_bandwidth (C=16 sigma=512 sp, "
+                "metric": "scs_spmv_effective_bandwidth (C=1024 sigma=1 sp, "
                 f"Laplace3D-64^3, {device.device_kind})",
                 "value": round(res.effective_gbps, 2),
                 "unit": "GB/s",

@@ -1,0 +1,159 @@
+"""Pallas lane-tile kernel tests (interpret mode on CPU validates the exact
+device semantics; the real Mosaic path is exercised by bench.py on TPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from uspmv_tpu.config import Config
+from uspmv_tpu.formats.scs import convert_to_scs, permute_scs_cols
+from uspmv_tpu.io.generators import laplace2d, random_banded, random_imbalanced, tridiag
+from uspmv_tpu.io.mmio import read_mtx
+from uspmv_tpu.ops.gather_primitive import gather_lanes, gather_sublanes, gather_window
+from uspmv_tpu.ops.packer import CHUNK_ROWS, pack_lane_tiles
+from uspmv_tpu.ops.pallas_scs import build_device_lane_tiles, spmv_lane_tiles
+from uspmv_tpu.runtime.operator import SpmvOperator, use_lane_tiles
+
+from conftest import matrix_path
+
+
+# ----------------------------------------------------------- gather primitive
+
+
+def test_gather_sublanes_semantics(rng):
+    src = rng.standard_normal((8, 128)).astype(np.float32)
+    idx = rng.integers(0, 8, (8, 128)).astype(np.int32)
+    out = np.asarray(gather_sublanes(jnp.asarray(src), jnp.asarray(idx)))
+    want = np.take_along_axis(src, idx, axis=0)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_gather_lanes_semantics(rng):
+    src = rng.standard_normal((8, 128)).astype(np.float32)
+    idx = rng.integers(0, 128, (8, 128)).astype(np.int32)
+    out = np.asarray(gather_lanes(jnp.asarray(src), jnp.asarray(idx)))
+    want = np.take_along_axis(src, idx, axis=1)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_gather_window_composition(rng):
+    """The two-step gather reproduces arbitrary window gathers when the
+    packer's (row, source-lane) injectivity holds."""
+    window = rng.standard_normal((8, 128)).astype(np.float32)
+    # one element per (i, j): source offset with unique lane per (i, lane)
+    lane = np.tile(np.arange(128, dtype=np.int32), (8, 1))
+    sub = rng.integers(0, 8, (8, 128)).astype(np.int32)
+    out = np.asarray(
+        gather_window(jnp.asarray(window), jnp.asarray(sub), jnp.asarray(lane))
+    )
+    want = window[sub, lane]
+    np.testing.assert_array_equal(out, want)
+
+
+def test_gather_rejects_bad_shapes():
+    with pytest.raises(ValueError, match="8,128"):
+        gather_lanes(jnp.zeros((16, 128)), jnp.zeros((16, 128), jnp.int32))
+
+
+# ------------------------------------------------------------------- packer
+
+
+def small_scs(mtx, sigma=1):
+    scs = convert_to_scs(mtx.astype(np.float32), CHUNK_ROWS, sigma)
+    fp = np.arange(scs.n_rows_padded, dtype=np.int32)
+    fp[: scs.n_rows] = scs.old_to_new_idx
+    permute_scs_cols(scs, fp)
+    return scs
+
+
+def test_packer_conservation(rng):
+    mtx = random_banded(600, 30, 9, seed=4)
+    scs = small_scs(mtx)
+    lt = pack_lane_tiles(scs)
+    # every nonzero value lands in exactly one slot
+    assert np.isclose(
+        np.abs(lt.vals.astype(np.float64)).sum(),
+        np.abs(mtx.values).sum(),
+        rtol=1e-5,
+    )
+    assert lt.n_tiles % lt.tiles_per_step == 0
+    assert np.all(np.diff(lt.tile_chunk) >= 0)
+    # every chunk owns at least one tile
+    assert set(lt.tile_chunk.tolist()) == set(range(lt.n_chunks))
+
+
+def test_packer_window_bounds(rng):
+    mtx = random_imbalanced(900, 7, seed=5)
+    scs = small_scs(mtx, sigma=CHUNK_ROWS)
+    lt = pack_lane_tiles(scs)
+    x_rows = max(scs.n_rows_padded // 128, 8)
+    assert lt.w_row.min() >= 0
+    assert lt.w_row.max() <= x_rows - 8
+
+
+# --------------------------------------------------------------- kernel e2e
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: laplace2d(40),
+        lambda: tridiag(1500),
+        lambda: random_banded(2500, 60, 11, seed=8),
+        lambda: random_imbalanced(1200, 8, seed=9),
+        lambda: read_mtx(matrix_path("bcsstk13.mtx")),
+        lambda: read_mtx(matrix_path("impcol_e.mtx")),
+    ],
+)
+@pytest.mark.parametrize("sigma", [1, CHUNK_ROWS])
+def test_kernel_interpret_vs_scipy(make, sigma):
+    mtx = make()
+    scs = small_scs(mtx, sigma)
+    dev = build_device_lane_tiles(scs)
+    x = np.random.default_rng(0).standard_normal(mtx.n_rows).astype(np.float32)
+    xp = np.zeros(scs.n_rows_padded, np.float32)
+    xp[scs.old_to_new_idx] = x
+    y = np.asarray(spmv_lane_tiles(dev, jnp.asarray(xp), interpret=True))
+    y = y[scs.old_to_new_idx]
+    ref = mtx.to_scipy().tocsr() @ x.astype(np.float64)
+    scale = max(np.abs(ref).max(), 1e-30)
+    assert np.abs(y - ref).max() / scale < 2e-5
+
+
+def test_operator_selects_lane_tiles():
+    cfg = Config(
+        kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
+        value_type="sp", use_pallas=True, backend="cpu",
+    )
+    assert use_lane_tiles(cfg)
+    mtx = laplace2d(32)
+    op = SpmvOperator.from_mtx(cfg, mtx)
+    from uspmv_tpu.ops.pallas_scs import DeviceLaneTiles
+
+    assert isinstance(op.devs["sp"], DeviceLaneTiles)
+    x = np.random.default_rng(1).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_operator_lane_tiles_block_vectors():
+    cfg = Config(
+        kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
+        value_type="sp", use_pallas=True, backend="cpu",
+        block_vec_size=3, vector_layout="rowwise",
+    )
+    mtx = laplace2d(24)
+    op = SpmvOperator.from_mtx(cfg, mtx)
+    x = np.random.default_rng(2).standard_normal((mtx.n_rows, 3))
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_dp_falls_back_to_xla():
+    cfg = Config(
+        kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
+        value_type="dp", use_pallas=True, backend="cpu",
+    )
+    assert not use_lane_tiles(cfg)

@@ -64,6 +64,10 @@ class DeviceScs:
     def n_tiles(self) -> int:
         return self.t_values.shape[0]
 
+    def stream_bytes(self) -> int:
+        """Matrix bytes streamed per SpMV by the tiled kernel."""
+        return int(self.t_values.nbytes + self.t_col_idxs.nbytes)
+
     @property
     def device_beta(self) -> float:
         """nnz / elements actually streamed by the tiled kernel."""

@@ -292,8 +292,22 @@ class DistributedSpmvOperator:
             xb = xb.at[scatter].set(buf, mode="drop")
         return xb
 
-    def _build_step(self):
-        """The sharded one-SpMV step: [R, n_loc(, bs)] -> [R, n_loc(, bs)]."""
+    @property
+    def kernel_args(self):
+        """Device-array pytree passed as a jit ARGUMENT (closure captures
+        would be re-uploaded by the tunnel on every call)."""
+        plan_arrays = {
+            p: {
+                "g": (self.plans[p].gathers if self.plans[p] else []),
+                "s": (self.plans[p].scatters if self.plans[p] else []),
+            }
+            for p in self.devs
+        }
+        return (self.devs, plan_arrays)
+
+    def build_spmv_closure(self):
+        """Raw (unjitted) sharded step fn(args, x):
+        [R, n_loc(, bs)] -> [R, n_loc(, bs)]."""
         cfg = self.config
         impl = spmv_flat if cfg.kernel_format == "crs" else spmv_tiled
         precisions = list(self.devs)
@@ -313,13 +327,6 @@ class DistributedSpmvOperator:
                 y = yk if y is None else y + yk
             return y[None]
 
-        plan_arrays = {
-            p: {
-                "g": (self.plans[p].gathers if self.plans[p] else []),
-                "s": (self.plans[p].scatters if self.plans[p] else []),
-            }
-            for p in precisions
-        }
         fn = _shard_map(
             shard_fn,
             self.mesh,
@@ -330,35 +337,45 @@ class DistributedSpmvOperator:
         bs = cfg.block_vec_size
         if bs > 1 and cfg.vector_layout == "colwise":
             # per-vector exchange+kernel sweep = singlevec/multivec modes
-            def step(x):  # x: [bs, R, n_loc]
-                return jax.vmap(lambda xv: fn(xv, self.devs, plan_arrays))(x)
+            def step(args, x):  # x: [bs, R, n_loc]
+                devs, plan_arrays = args
+                return jax.vmap(lambda xv: fn(xv, devs, plan_arrays))(x)
 
         else:
 
-            def step(x):  # x: [R, n_loc(, bs)]
-                return fn(x, self.devs, plan_arrays)
+            def step(args, x):  # x: [R, n_loc(, bs)]
+                devs, plan_arrays = args
+                return fn(x, devs, plan_arrays)
 
         return step
 
     def _spmv_fn(self):
         if self._jit_spmv is None:
-            self._jit_spmv = jax.jit(self._build_step())
+            self._jit_spmv = jax.jit(self.build_spmv_closure())
         return self._jit_spmv
 
     def spmv(self, x):
-        return self._spmv_fn()(x)
+        return self._spmv_fn()(self.kernel_args, x)
+
+    def _solve_fn(self):
+        if getattr(self, "_jit_solve", None) is None:
+            fn = self.build_spmv_closure()
+
+            def solve(args, x, n):
+                def body(carry, _):
+                    x, _y = carry
+                    return (fn(args, x), x), None
+
+                (x_fin, y_fin), _ = jax.lax.scan(
+                    body, (x, jnp.zeros_like(x)), None, length=n
+                )
+                return y_fin, x_fin
+
+            self._jit_solve = jax.jit(solve, static_argnums=2)
+        return self._jit_solve
 
     def solve(self, x, n_repetitions: int):
-        fn = self._spmv_fn()
-
-        def body(carry, _):
-            x, _y = carry
-            return (fn(x), x), None
-
-        (x_fin, y_fin), _ = jax.lax.scan(
-            body, (x, jnp.zeros_like(x)), None, length=n_repetitions
-        )
-        return y_fin, x_fin
+        return self._solve_fn()(self.kernel_args, x, n_repetitions)
 
     # ---------------------------------------------------------------- vectors
 
@@ -406,7 +423,7 @@ class DistributedSpmvOperator:
     def bytes_per_spmv(self) -> int:
         total = 0
         for dev in self.devs.values():
-            total += int(dev.t_values.nbytes + dev.t_col_idxs.nbytes)
+            total += dev.stream_bytes()
         xw = np.dtype(self.working_dtype).itemsize
         total += self.R * self.n_rows_padded * self.config.block_vec_size * xw * 2
         return total

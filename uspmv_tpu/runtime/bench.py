@@ -62,17 +62,26 @@ class BenchResult:
 
 
 def _make_runner(op: SpmvOperator):
-    """jitted (x, eps, n) -> y running n chained SpMVs; eps (zeros at
-    runtime) varies per iteration to defeat CSE/LICM."""
-    fn = op._spmv_fn()
+    """jitted (args, x, eps, n) -> y running n chained SpMVs; eps (zeros at
+    runtime) varies per iteration to defeat CSE/LICM. All device arrays are
+    jit ARGUMENTS (closure constants would be re-uploaded per call by the
+    tunnel)."""
+    fn = op.build_spmv_closure()
 
-    def run(x, eps, n):
-        y0 = fn(x)
+    def run(args, x, eps, n):
+        y0 = fn(args, x)
 
         def body(i, y_prev):
-            return fn(x + eps[i % _EPS_LEN])
+            # eps is zero at runtime but unknown to the compiler; the
+            # y_prev[0] factor creates a true loop-carried dependence so
+            # XLA cannot collapse the counted loop into its last iteration
+            s = jnp.ravel(y_prev)[0] * eps[i % _EPS_LEN]
+            return fn(args, x + s)
 
-        return jax.lax.fori_loop(1, n, body, y0)
+        y = jax.lax.fori_loop(1, n, body, y0)
+        # return a scalar: fetching it is the only TRUE device sync (the
+        # axon tunnel's block_until_ready returns before execution ends)
+        return jnp.sum(y, dtype=jnp.float32)
 
     return jax.jit(run)
 
@@ -93,18 +102,21 @@ def bench_spmv(
     if device is not None:
         eps = jax.device_put(eps, device)
 
-    # warm-up (compile + cache warm), excluded from timing
-    jax.block_until_ready(runner(x, eps, min(warmup, 1)))
+    args = op.kernel_args
+    # warm-up (compile + cache warm), excluded from timing; float() fetch
+    # is the true device sync
+    float(runner(args, x, eps, min(warmup, 1)))
     if warmup > 1:
-        jax.block_until_ready(runner(x, eps, warmup))
+        float(runner(args, x, eps, warmup))
 
     n_iter = max(1, start_iters)
+    max_iters = 1 << 17  # guard: very long on-device loops can wedge the chip
     t_total0 = time.perf_counter()
     while True:
         t0 = time.perf_counter()
-        y = jax.block_until_ready(runner(x, eps, n_iter))
+        float(runner(args, x, eps, n_iter))
         elapsed = time.perf_counter() - t0
-        if elapsed >= bench_time:
+        if elapsed >= bench_time or n_iter >= max_iters:
             break
         n_iter *= 2
     t_total = time.perf_counter() - t_total0
@@ -116,7 +128,7 @@ def bench_spmv(
     # effective traffic: matrix stream (values+cols once per spmv) + x + y
     mat_bytes = 0
     for dev in op.devs.values():
-        mat_bytes += int(dev.t_values.nbytes + dev.t_col_idxs.nbytes)
+        mat_bytes += dev.stream_bytes()
     vec_bytes = int(
         op.n_rows_padded * bs * np.dtype(op.working_dtype).itemsize * 2
     )

@@ -55,18 +55,28 @@ def resolve_device(config: Config):
     return default
 
 
+def use_lane_tiles(config: Config) -> bool:
+    """Whether the Pallas lane-tile kernel applies: SCS with the TPU-native
+    chunk height (1024 rows = 8 sublanes x 128 lanes) and a non-f64 working
+    dtype (dp runs the CPU/XLA validation path, SURVEY.md §7)."""
+    from ..ops.packer import CHUNK_ROWS
+
+    return (
+        config.use_pallas
+        and config.kernel_format == "scs"
+        and config.chunk_size == CHUNK_ROWS
+        and np.dtype(config.working_dtype()) != np.float64
+    )
+
+
 def _impl_for(config: Config):
     """Kernel implementation selection (reference SpmvKernel ctor decision
     tree, classes_structs.hpp:435-688, collapsed: XLA/Pallas tiling replaces
     the templated-C dispatch)."""
-    if config.use_pallas:
-        try:
-            from ..ops.pallas_scs import spmv_pallas, pallas_supported
+    if use_lane_tiles(config):
+        from ..ops.pallas_scs import spmv_pallas
 
-            if pallas_supported():
-                return spmv_pallas
-        except ImportError:
-            pass
+        return spmv_pallas
     if config.kernel_format == "crs":
         return spmv_flat
     return spmv_tiled
@@ -149,10 +159,24 @@ class SpmvOperator:
             permute_scs_cols(s, full_perm)
 
         device = resolve_device(config)
-        devs = {
-            p: build_device_scs(s, tile_elems=config.tile_elems, device=device)
-            for p, s in scs.items()
-        }
+        if use_lane_tiles(config):
+            from ..ops.pallas_scs import build_device_lane_tiles
+
+            devs = {
+                # bf16 values are held as f32 in the lane tiles for now
+                # (TPU bf16 tile shapes differ; native bf16 streams later)
+                p: build_device_lane_tiles(
+                    s, dtype=np.float32, device=device
+                )
+                for p, s in scs.items()
+            }
+        else:
+            devs = {
+                p: build_device_scs(
+                    s, tile_elems=config.tile_elems, device=device
+                )
+                for p, s in scs.items()
+            }
         return cls(
             config=config,
             n_rows=mtx.n_rows,
@@ -174,15 +198,23 @@ class SpmvOperator:
     def working_dtype(self):
         return self.config.working_dtype()
 
+    @property
+    def kernel_args(self):
+        return self.devs
+
     def build_spmv_closure(self):
-        """The unjitted spmv function (precisions summed for AP, colwise
-        layouts vmapped per vector)."""
+        """The unjitted spmv function ``fn(devs, x)`` (precisions summed for
+        AP, colwise layouts vmapped per vector).
+
+        IMPORTANT: device arrays must flow in as ARGUMENTS, never as closure
+        captures — jit embeds captured arrays as constants, which the axon
+        TPU tunnel re-uploads on every execution (measured 500x slowdown).
+        """
         impl = _impl_for(self.config)
-        devs = self.devs
         layout = self.config.vector_layout
         bs = self.config.block_vec_size
 
-        def one(x):
+        def one(devs, x):
             y = None
             for dev in devs.values():
                 yk = impl(dev, x)
@@ -190,7 +222,7 @@ class SpmvOperator:
             return y
 
         if bs > 1 and layout == "colwise":
-            return jax.vmap(one)  # [bs, n_pad] -> [bs, n_pad]
+            return lambda devs, x: jax.vmap(lambda xv: one(devs, xv))(x)
         return one
 
     def _spmv_fn(self):
@@ -200,25 +232,30 @@ class SpmvOperator:
 
     def spmv(self, x: jax.Array) -> jax.Array:
         """One y = A x in device layout (permuted/padded)."""
-        return self._spmv_fn()(x)
+        return self._spmv_fn()(self.devs, x)
+
+    def _solve_fn(self):
+        if getattr(self, "_jit_solve", None) is None:
+            fn = self.build_spmv_closure()
+
+            def solve(devs, x, n):
+                def body(carry, _):
+                    x, _y = carry
+                    return (fn(devs, x), x), None
+
+                (x_fin, y_fin), _ = jax.lax.scan(
+                    body, (x, jnp.zeros_like(x)), None, length=n
+                )
+                return y_fin, x_fin
+
+            self._jit_solve = jax.jit(solve, static_argnums=2)
+        return self._jit_solve
 
     def solve(self, x: jax.Array, n_repetitions: int) -> tuple:
         """Solve mode: n_repetitions of y = A x with x<->y swap (reference
-        main.cpp:528-607 + swap_local_vectors). Returns (x, y) after the
-        final iteration, device layout."""
-        fn = self._spmv_fn()
-
-        def body(carry, _):
-            x, _y = carry
-            y = fn(x)
-            return (y, x), None
-
-        (x_fin, y_fin), _ = jax.lax.scan(
-            body, (x, jnp.zeros_like(x)), None, length=n_repetitions
-        )
-        # after the last spmv the "result" is in x_fin (post-swap), the
-        # input that produced it in y_fin
-        return y_fin, x_fin
+        main.cpp:528-607 + swap_local_vectors). Returns (x_last_input,
+        y_result) after the final iteration, device layout."""
+        return self._solve_fn()(self.devs, x, n_repetitions)
 
     # ------------------------------------------------------------- vectors
 
@@ -254,7 +291,7 @@ class SpmvOperator:
         total = 0
         bs = self.config.block_vec_size
         for p, dev in self.devs.items():
-            total += int(dev.t_values.nbytes + dev.t_col_idxs.nbytes)
+            total += dev.stream_bytes()
         xw = np.dtype(self.working_dtype).itemsize
         total += self.n_rows_padded * bs * xw * 2
         return total
