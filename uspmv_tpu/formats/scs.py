@@ -190,6 +190,7 @@ def convert_to_scs(
     sigma: int,
     dtype=None,
     fixed_permutation: Optional[np.ndarray] = None,
+    native: Optional[bool] = None,
 ) -> ScsData:
     """COO -> SELL-C-sigma (reference convert_to_scs, utilities.hpp:1842-2104).
 
@@ -211,6 +212,16 @@ def convert_to_scs(
     """
     if C < 1 or sigma < 1:
         raise ValueError("C and sigma must be >= 1")
+    if native is not False:
+        from ..native import convert_to_scs_native
+
+        out = convert_to_scs_native(
+            mtx, C, sigma, dtype=dtype, fixed_permutation=fixed_permutation
+        )
+        if out is not None:
+            return out
+        if native is True:
+            raise RuntimeError("native host library unavailable")
     n_rows = mtx.n_rows
     n_chunks = (n_rows + C - 1) // C
     n_rows_padded = n_chunks * C

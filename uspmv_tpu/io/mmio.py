@@ -14,6 +14,8 @@ NIST routines + read_mtx at utilities.hpp:2148-2309). Behavior replicated:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from ..formats.coo import MtxData
@@ -37,13 +39,26 @@ def _parse_banner(line: str):
     return fmt, field, sym
 
 
-def read_mtx(path: str, require_square: bool = True) -> MtxData:
+def read_mtx(
+    path: str, require_square: bool = True, native: Optional[bool] = None
+) -> MtxData:
     """Read a MatrixMarket file into a row-sorted COO ``MtxData`` (float64).
 
     Mirrors reference ``read_mtx`` (utilities.hpp:2148-2309): sparse-only,
     square-only (unless ``require_square=False``), symmetric expansion,
     stable row sort.
+
+    ``native=None`` auto-uses the C++ reader (native/uspmv_host.cpp) when its
+    library is available; True requires it; False forces pure Python.
     """
+    if native is not False:
+        from ..native import read_mtx_native
+
+        out = read_mtx_native(path, require_square)
+        if out is not None:
+            return out
+        if native is True:
+            raise RuntimeError("native host library unavailable")
     with open(path, "rb") as f:
         data = f.read()
     text = data.decode("ascii", errors="replace")
