@@ -78,8 +78,12 @@ def test_packer_conservation(rng):
     )
     assert lt.n_tiles % lt.tiles_per_step == 0
     assert np.all(np.diff(lt.tile_chunk) >= 0)
-    # every chunk owns at least one tile
-    assert set(lt.tile_chunk.tolist()) == set(range(lt.n_chunks))
+    # every group is covered (its output block gets zero-initialized) and
+    # steps never straddle group boundaries
+    tile_group = lt.tile_chunk // lt.chunks_per_group
+    assert set(tile_group.tolist()) == set(range(lt.n_groups))
+    per_step = tile_group.reshape(-1, lt.tiles_per_step)
+    assert (per_step == per_step[:, :1]).all()
 
 
 def test_packer_window_bounds(rng):

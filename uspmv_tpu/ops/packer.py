@@ -32,13 +32,27 @@ TILE_J = 8  # sublanes
 LANES = 128  # lanes
 CHUNK_ROWS = TILE_J * LANES  # rows per chunk = elements per tile
 WINDOW = CHUNK_ROWS  # x entries per gather window
-# tiles per pallas grid step: each chunk's tile count is padded to a
-# multiple of this, so one grid step never straddles a chunk boundary —
-# keeping conditionals out of the inner loop. Large steps amortize the
-# ~100 ns per-step grid overhead (measured); auto-choice rounds the average
-# tiles/chunk up to a power of two in [MIN_..MAX_TILES_PER_STEP].
-MIN_TILES_PER_STEP = 4
-MAX_TILES_PER_STEP = 16
+# Grid structure (grouped-flat): grid steps are decoupled from chunk
+# boundaries — a step processes TILES_PER_STEP tiles of ONE chunk-GROUP
+# (CHUNKS_PER_GROUP consecutive chunks) and accumulates each tile into its
+# chunk's (8, 128) slice of the group's VMEM output block via a dynamic
+# read-modify-write. Only group tile counts are padded (to a multiple of
+# tiles_per_step), so padding waste is ~1% instead of the up-to-2x waste of
+# per-chunk padding. Fat steps amortize the measured ~250-500 ns/step grid
+# overhead (scripts/pallas_floor_bench.py).
+CHUNKS_PER_GROUP = 64  # output block = (64, 8, 128) f32 = 256 KiB VMEM
+MAX_TILES_PER_STEP = 128  # 2x(128,8,128)x2 double-buffered = 2 MiB VMEM
+MIN_PIPELINE_STEPS = 16  # keep enough steps for DMA/compute overlap
+
+
+def auto_tiles_per_step(n_tiles: int) -> int:
+    """Fattest power-of-two step that still leaves MIN_PIPELINE_STEPS grid
+    steps (measured ~200-500 ns fixed cost per step; fewer, fatter steps
+    win until the pipeline runs out of overlap)."""
+    tps = 8
+    while tps < MAX_TILES_PER_STEP and n_tiles // (tps * 2) >= MIN_PIPELINE_STEPS:
+        tps *= 2
+    return tps
 
 
 @dataclasses.dataclass
@@ -60,11 +74,17 @@ class LaneTiles:
     n_rows_padded: int
     nnz: int
     n_spilled: int
-    tiles_per_step: int = 4
+    tiles_per_step: int = 32
+    chunks_per_group: int = CHUNKS_PER_GROUP
 
     @property
     def n_tiles(self) -> int:
         return self.vals.shape[0]
+
+    @property
+    def n_groups(self) -> int:
+        g = self.chunks_per_group
+        return max((self.n_chunks + g - 1) // g, 1)
 
     @property
     def fill(self) -> float:
@@ -73,7 +93,10 @@ class LaneTiles:
 
 
 def pack_lane_tiles(
-    scs: ScsData, dtype=np.float32, tiles_per_step: int | None = None
+    scs: ScsData,
+    dtype=np.float32,
+    tiles_per_step: int | None = None,
+    chunks_per_group: int | None = None,
 ) -> LaneTiles:
     if scs.C != CHUNK_ROWS:
         raise ValueError(
@@ -83,7 +106,7 @@ def pack_lane_tiles(
     x_rows = max(scs.n_rows_padded // LANES, TILE_J)
     max_wrow = max(x_rows - TILE_J, 0)
 
-    # --- base tiles: direct reshape of the flat SCS stream ---
+    # --- flat j-plane view of the SCS stream ---
     nt_base = scs.n_elements // CHUNK_ROWS
     assert nt_base * CHUNK_ROWS == scs.n_elements
     t_vals = scs.values.astype(dtype).reshape(nt_base, TILE_J, LANES)
@@ -92,25 +115,73 @@ def pack_lane_tiles(
     empty = scs.padding_mask().reshape(nt_base, TILE_J, LANES)
     t_cols = np.where(empty, -1, t_cols)
     lens = scs.chunk_lengths.astype(np.int64)
-    base_chunk = np.repeat(np.arange(n_chunks, dtype=np.int32), lens)
+    plane_start = np.concatenate(([0], np.cumsum(lens)))  # tile id of plane 0
     has_elem = t_cols >= 0
 
-    # --- window per tile ---
-    big = np.where(has_elem, t_cols, np.iinfo(np.int64).max)
-    min_col = big.reshape(nt_base, -1).min(axis=1)
-    min_col = np.where(min_col == np.iinfo(np.int64).max, 0, min_col)
-    w_row = np.minimum(min_col // LANES, max_wrow).astype(np.int64)
-    off = t_cols - (w_row * LANES)[:, None, None]
-    in_window = has_elem & (off >= 0) & (off < WINDOW)
+    # --- two-pointer bin assignment, per chunk ---
+    # An element may land in ANY plane-bin of its chunk whose 1024-entry
+    # window covers its column (not just its own j-plane) — rows whose
+    # sparsity differs from their chunk-mates would otherwise miss windows
+    # en masse (measured 23% of elements on a 7-pt stencil with boundary
+    # rows). Each row's elements are first sorted by column (row-internal
+    # order is semantically free — contributions sum), which makes the
+    # plane-min windows provably non-decreasing in j, so a per-row
+    # two-pointer greedy (interval scheduling) is optimal for the window
+    # constraint. assign[k, r] = bin index within the chunk, or -1 (spill).
+    assign = np.full((nt_base, TILE_J, LANES), -1, dtype=np.int64)
+    w_row = np.zeros(nt_base, dtype=np.int64)
+    INF = np.iinfo(np.int64).max
+    for c in range(n_chunks):
+        L = int(lens[c])
+        if L == 0:
+            continue
+        t0 = int(plane_start[c])
+        cols = t_cols[t0 : t0 + L].reshape(L, CHUNK_ROWS)  # [k, row]
+        vals = t_vals[t0 : t0 + L].reshape(L, CHUNK_ROWS)
+        # sort each row's elements by column, padding (-1 -> INF) last
+        key = np.where(cols >= 0, cols, INF)
+        if L > 1 and (np.diff(key, axis=0) < 0).any():
+            order = np.argsort(key, axis=0, kind="stable")
+            cols = np.take_along_axis(cols, order, axis=0)
+            vals = np.take_along_axis(vals, order, axis=0)
+            t_cols[t0 : t0 + L] = cols.reshape(L, TILE_J, LANES)
+            t_vals[t0 : t0 + L] = vals.reshape(L, TILE_J, LANES)
+        valid = cols >= 0
+        # plane windows: min col of each (sorted) j-plane, non-decreasing
+        mc = np.where(valid, cols, INF).min(axis=1)
+        mc = np.where(mc == INF, 0, mc)
+        wr = np.minimum(mc // LANES, max_wrow)
+        w_row[t0 : t0 + L] = wr
+        W = wr * LANES
+        # bin range covering each element's column
+        bmin = np.searchsorted(W + WINDOW, cols, side="right")
+        bmax = np.searchsorted(W, cols, side="right") - 1
+        ptr = np.zeros(CHUNK_ROWS, dtype=np.int64)
+        out = np.full((L, CHUNK_ROWS), -1, dtype=np.int64)
+        for k in range(L):
+            b = np.maximum(ptr, bmin[k])
+            ok = valid[k] & (b <= bmax[k]) & (b < L)
+            out[k] = np.where(ok, b, -1)
+            ptr = np.where(ok, b + 1, ptr)
+        assign[t0 : t0 + L] = out.reshape(L, TILE_J, LANES)
+
+    # destination tile of each element (global plane-bin id)
+    chunk_of_plane = np.repeat(np.arange(n_chunks, dtype=np.int64), lens)
+    dest = np.where(
+        assign >= 0, plane_start[chunk_of_plane][:, None, None] + assign, -1
+    )
+    off = t_cols - w_row[np.maximum(dest, 0)] * LANES
+    in_window = dest >= 0
 
     lane = np.where(in_window, off & (LANES - 1), 0).astype(np.int64)
     sub = np.where(in_window, off >> 7, 0).astype(np.int64)
 
-    # --- two-step-gather consistency: one sublane per (tile, i, lane) ---
+    # --- two-step-gather consistency: one sublane per (dest, i, lane) ---
+    ii_idx = np.broadcast_to(
+        np.arange(TILE_J)[None, :, None], assign.shape
+    )
     skey = (
-        np.arange(nt_base)[:, None, None] * (TILE_J * LANES)
-        + np.arange(TILE_J)[None, :, None] * LANES
-        + lane
+        np.maximum(dest, 0) * (TILE_J * LANES) + ii_idx * LANES + lane
     )
     S_first = np.full(nt_base * TILE_J * LANES, -1, dtype=np.int64)
     flat_key = skey.reshape(-1)
@@ -119,17 +190,20 @@ def pack_lane_tiles(
     uniq, first_idx = np.unique(flat_key[order], return_index=True)
     S_first[uniq] = flat_sub[order[first_idx]]
     conflict = in_window.reshape(-1) & (S_first[flat_key] != flat_sub)
-    conflict = conflict.reshape(nt_base, TILE_J, LANES)
+    conflict = conflict.reshape(assign.shape)
 
     keep = in_window & ~conflict
     spill_mask = has_elem & ~keep
 
     sub_tab = np.zeros((nt_base, TILE_J, LANES), dtype=np.int32)
     lane_tab = np.zeros((nt_base, TILE_J, LANES), dtype=np.int32)
-    ti, ii, ji = np.nonzero(keep)
-    sub_tab[ti, ii, lane[ti, ii, ji]] = sub[ti, ii, ji].astype(np.int32)
-    lane_tab[ti, ii, ji] = lane[ti, ii, ji].astype(np.int32)
-    vals_out = np.where(keep, t_vals, 0).astype(dtype)
+    vals_out = np.zeros((nt_base, TILE_J, LANES), dtype=dtype)
+    ti, ii, ji = np.nonzero(keep)  # ti = source plane, ii/ji = row slot
+    di = dest[ti, ii, ji]
+    sub_tab[di, ii, lane[ti, ii, ji]] = sub[ti, ii, ji].astype(np.int32)
+    lane_tab[di, ii, ji] = lane[ti, ii, ji].astype(np.int32)
+    vals_out[di, ii, ji] = t_vals[ti, ii, ji]
+    base_chunk = chunk_of_plane.astype(np.int32)
 
     # --- spill packing (greedy per chunk) ---
     n_spilled = int(spill_mask.sum())
@@ -149,6 +223,17 @@ def pack_lane_tiles(
                 max_wrow, dtype,
             )
 
+    # drop bins that ended up empty (all their elements moved elsewhere)
+    used = np.zeros(nt_base, dtype=bool)
+    if di.size:
+        used[np.unique(di)] = True
+    if not used.all():
+        vals_out = vals_out[used]
+        sub_tab = sub_tab[used]
+        lane_tab = lane_tab[used]
+        w_row = w_row[used]
+        base_chunk = base_chunk[used]
+
     if extra["vals"]:
         vals_out = np.concatenate([vals_out, np.stack(extra["vals"])])
         sub_tab = np.concatenate([sub_tab, np.stack(extra["sub"])])
@@ -158,20 +243,6 @@ def pack_lane_tiles(
             [base_chunk, np.asarray(extra["chunk"], dtype=np.int32)]
         )
 
-    # ensure every chunk owns >= 1 tile (empty chunks still need their y
-    # block zeroed) — append an all-zero tile for chunks with no tiles
-    present = np.zeros(n_chunks, dtype=bool)
-    present[base_chunk] = True
-    missing = np.flatnonzero(~present)
-    if missing.size:
-        z = np.zeros((missing.size, TILE_J, LANES), dtype=dtype)
-        zi = np.zeros((missing.size, TILE_J, LANES), dtype=np.int32)
-        vals_out = np.concatenate([vals_out, z])
-        sub_tab = np.concatenate([sub_tab, zi])
-        lane_tab = np.concatenate([lane_tab, zi])
-        w_row = np.concatenate([w_row, np.zeros(missing.size, dtype=np.int64)])
-        base_chunk = np.concatenate([base_chunk, missing.astype(np.int32)])
-
     reorder = np.argsort(base_chunk, kind="stable")
     vals_out = vals_out[reorder]
     src_tab = ((sub_tab.astype(np.int32) << 7) | lane_tab.astype(np.int32))[
@@ -180,38 +251,40 @@ def pack_lane_tiles(
     w_row = w_row[reorder].astype(np.int32)
     base_chunk = base_chunk[reorder].astype(np.int32)
 
-    # pad EVERY chunk's tile count to a multiple of tiles_per_step with
-    # no-op tiles, so one grid step processes tiles of exactly one chunk
-    # and the kernel's chunk bookkeeping happens once per step, not per
-    # tile (measured: per-tile conditionals cost ~50 ns/tile)
-    cnt = np.bincount(base_chunk, minlength=n_chunks)
+    # pad each GROUP's tile count to a non-zero multiple of tiles_per_step
+    # with no-op tiles (vals 0, chunk = group's first chunk — a harmless
+    # += 0). Steps never straddle groups; empty groups keep one all-zero
+    # step so their output block still gets zero-initialized.
+    if chunks_per_group is None:
+        chunks_per_group = CHUNKS_PER_GROUP
     if tiles_per_step is None:
-        avg = max(float(cnt.mean()), 1.0)
-        tiles_per_step = int(
-            min(
-                MAX_TILES_PER_STEP,
-                max(MIN_TILES_PER_STEP, 1 << int(np.ceil(np.log2(avg)))),
-            )
-        )
-    cnt_pad = ((cnt + tiles_per_step - 1) // tiles_per_step) * tiles_per_step
+        tiles_per_step = auto_tiles_per_step(vals_out.shape[0])
+    n_groups = max((n_chunks + chunks_per_group - 1) // chunks_per_group, 1)
+    tile_group = base_chunk // chunks_per_group
+    cnt = np.bincount(tile_group, minlength=n_groups)
+    cnt_pad = np.maximum(
+        (cnt + tiles_per_step - 1) // tiles_per_step, 1
+    ) * tiles_per_step
     nt_pad = int(cnt_pad.sum())
     nt = vals_out.shape[0]
     if nt_pad != nt:
         ends = np.cumsum(cnt)
         ends_pad = np.cumsum(cnt_pad)
         # position of each original tile in the padded stream
-        src_pos = np.arange(nt) + (ends_pad - ends)[base_chunk] - (
+        src_pos = np.arange(nt) + (ends_pad - ends)[tile_group] - (
             cnt_pad - cnt
-        )[base_chunk]
+        )[tile_group]
         v = np.zeros((nt_pad, TILE_J, LANES), dtype=dtype)
         s = np.zeros((nt_pad, TILE_J, LANES), dtype=np.int32)
         w = np.zeros(nt_pad, dtype=np.int32)
+        # padding tiles target their group's first chunk with zero values
         c = np.repeat(
-            np.arange(n_chunks, dtype=np.int32), cnt_pad
+            np.arange(n_groups, dtype=np.int32) * chunks_per_group, cnt_pad
         )
         v[src_pos] = vals_out
         s[src_pos] = src_tab
         w[src_pos] = w_row
+        c[src_pos] = base_chunk
         vals_out, src_tab, w_row, base_chunk = v, s, w, c
 
     return LaneTiles(
@@ -224,6 +297,7 @@ def pack_lane_tiles(
         nnz=scs.nnz,
         n_spilled=n_spilled,
         tiles_per_step=tiles_per_step,
+        chunks_per_group=chunks_per_group,
     )
 
 

@@ -1,4 +1,4 @@
-"""Pallas TPU SpMV kernel over j-plane lane tiles.
+"""Pallas TPU SpMV kernel over j-plane lane tiles (grouped-flat grid).
 
 The TPU-native replacement for the reference's hot loop (scs_impl_cpu<C>,
 kernels.hpp:216-301). Design (see ops/packer.py and SURVEY.md §7):
@@ -8,10 +8,17 @@ kernels.hpp:216-301). Design (see ops/packer.py and SURVEY.md §7):
   * per tile, a two-step hardware dynamic_gather (ops/gather_primitive.py)
     fetches x from a 1024-entry window at a per-tile offset; both gather
     tables travel in ONE packed int32 stream (8 bytes/element total);
-  * y accumulation is elementwise into the chunk's (8, 128) VMEM block —
-    the row reduction costs nothing and there is no scatter anywhere;
-  * x is VMEM-resident; TILES_PER_STEP tiles are processed per grid step
-    (unrolled) to amortize grid overheads.
+  * grid steps are decoupled from chunk boundaries: one step processes
+    TILES_PER_STEP tiles of one chunk-GROUP (CHUNKS_PER_GROUP chunks) and
+    accumulates each tile into its chunk's (8, 128) slice of the group's
+    VMEM output block (dynamic read-modify-write; the row reduction costs
+    nothing and there is no scatter anywhere). The output block index is
+    data-driven via scalar prefetch (PrefetchScalarGridSpec), so Pallas
+    keeps it resident in VMEM across the group's consecutive steps;
+  * fat steps (default 32 tiles) amortize the measured ~250-500 ns/step
+    grid overhead; only group tile counts are padded (~1% waste) instead
+    of per-chunk padding (up to 2x waste on short chunks);
+  * x is VMEM-resident.
 
 Interpret mode (CPU) runs the same kernel with the primitive's
 take_along_axis fallback, so tests validate exact device semantics.
@@ -55,12 +62,13 @@ class DeviceLaneTiles:
     vals: jax.Array  # [nt, 8, 128]
     src_tab: jax.Array  # [nt, 8, 128] int32 packed (sub<<7)|lane
     w_row: jax.Array  # [nt] int32
-    tile_chunk: jax.Array  # [nt] int32 ascending
-    step_chunk: jax.Array  # [nt/tps] int32: chunk of each grid step
-    step_flags: jax.Array  # [nt/tps] int32: bit0 = first step of chunk,
-    #                         bit1 = last step of chunk
+    tile_cl: jax.Array  # [nt] int32: chunk local to the tile's group
+    step_group: jax.Array  # [ns] int32: output group of each grid step
+    step_first: jax.Array  # [ns] int32: 1 = first step of its group
 
     tiles_per_step: int = dataclasses.field(metadata=dict(static=True))
+    chunks_per_group: int = dataclasses.field(metadata=dict(static=True))
+    n_groups: int = dataclasses.field(metadata=dict(static=True))
     n_chunks: int = dataclasses.field(metadata=dict(static=True))
     n_rows_padded: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
@@ -80,25 +88,37 @@ class DeviceLaneTiles:
 
 
 def build_device_lane_tiles(
-    scs, dtype=np.float32, device=None, tiles_per_step=None
+    scs,
+    dtype=np.float32,
+    device=None,
+    tiles_per_step=None,
+    chunks_per_group=None,
 ) -> DeviceLaneTiles:
-    lt = pack_lane_tiles(scs, dtype=dtype, tiles_per_step=tiles_per_step)
-    step_chunk = lt.tile_chunk[:: lt.tiles_per_step].astype(np.int32)
-    ns = step_chunk.shape[0]
+    lt = pack_lane_tiles(
+        scs,
+        dtype=dtype,
+        tiles_per_step=tiles_per_step,
+        chunks_per_group=chunks_per_group,
+    )
+    tps = lt.tiles_per_step
+    G = lt.chunks_per_group
+    tile_group = lt.tile_chunk // G
+    tile_cl = (lt.tile_chunk - tile_group * G).astype(np.int32)
+    step_group = tile_group[::tps].astype(np.int32)
+    ns = step_group.shape[0]
     first = np.ones(ns, dtype=np.int32)
-    first[1:] = (step_chunk[1:] != step_chunk[:-1]).astype(np.int32)
-    last = np.ones(ns, dtype=np.int32)
-    last[:-1] = (step_chunk[:-1] != step_chunk[1:]).astype(np.int32)
-    flags = first | (last << 1)
+    first[1:] = (step_group[1:] != step_group[:-1]).astype(np.int32)
     put = lambda a: jax.device_put(a, device) if device else jnp.asarray(a)
     return DeviceLaneTiles(
         vals=put(lt.vals),
         src_tab=put(lt.src_tab),
         w_row=put(lt.w_row),
-        tile_chunk=put(lt.tile_chunk),
-        step_chunk=put(step_chunk),
-        step_flags=put(flags),
-        tiles_per_step=lt.tiles_per_step,
+        tile_cl=put(tile_cl),
+        step_group=put(step_group),
+        step_first=put(first),
+        tiles_per_step=tps,
+        chunks_per_group=G,
+        n_groups=lt.n_groups,
         n_chunks=lt.n_chunks,
         n_rows_padded=lt.n_rows_padded,
         nnz=lt.nnz,
@@ -107,24 +127,31 @@ def build_device_lane_tiles(
 
 
 def _kernel(
-    w_row_ref,  # [nt] int32 in SMEM
-    step_chunk_ref,  # [n_steps] int32 in SMEM
-    step_flags_ref,  # [n_steps] int32 in SMEM (bit0 first, bit1 last)
+    # scalar-prefetch refs (SMEM)
+    w_row_ref,  # [nt] int32
+    tile_cl_ref,  # [nt] int32
+    sg_ref,  # [ns] int32 (consumed by the out index map)
+    sf_ref,  # [ns] int32: 1 = first step of group
+    # blocked inputs
     vals_ref,  # (TILES_PER_STEP, 8, 128)
     src_ref,  # (TILES_PER_STEP, 8, 128) int32
     x_ref,  # (x_rows, 128) whole x in VMEM
-    out_ref,  # (n_chunks, 8, 128) whole y in VMEM; row r at (c, r>>7, r&127)
-    acc_ref,  # (8, 128) scratch: running chunk accumulator (persists
-    #           across grid steps)
+    out_ref,  # (G, 8, 128) the step's group output block (VMEM-resident
+    #           across the group's consecutive steps)
     *,
     acc_dtype,
     tps,
 ):
+    del sg_ref
     step = pl.program_id(0)
+
+    @pl.when(sf_ref[step] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
     base = step * tps
-    # one grid step = tps tiles of ONE chunk: the hot loop is branch-free
-    # (per-tile conditionals measured at ~50 ns/tile)
-    reg = None
+    # the hot loop is branch-free; each tile does 2 unpack ops, 2 hardware
+    # gathers, 1 fma and 1 dynamic VMEM read-modify-write
     for k in range(tps):
         t = base + k
         w = w_row_ref[t]
@@ -135,24 +162,8 @@ def _kernel(
         t1 = gather_sublanes(window, sub_tab)
         g = gather_lanes(t1, lane_tab)
         partial = vals_ref[k].astype(acc_dtype) * g.astype(acc_dtype)
-        reg = partial if reg is None else reg + partial
-
-    flags = step_flags_ref[step]
-    ck = step_chunk_ref[step]
-    is_first = (flags & 1) == 1
-    is_last = (flags & 2) == 2
-
-    @pl.when(is_first)
-    def _():
-        acc_ref[:] = reg
-
-    @pl.when(jnp.logical_not(is_first))
-    def _():
-        acc_ref[:] = acc_ref[:] + reg
-
-    @pl.when(is_last)
-    def _():
-        out_ref[ck] = acc_ref[:].astype(out_ref.dtype)
+        cl = tile_cl_ref[t]
+        out_ref[cl] = out_ref[cl] + partial
 
 
 def spmv_lane_tiles(
@@ -176,36 +187,41 @@ def spmv_lane_tiles(
     Z = np.int32(0)
     nt = dev.n_tiles
     tps = dev.tiles_per_step
+    G = dev.chunks_per_group
     assert nt % tps == 0
+    ns = nt // tps
     tile_spec = pl.BlockSpec(
         (tps, TILE_J, LANES),
-        lambda s: (s, Z, Z),
+        lambda s, w, c, g, f: (s, Z, Z),
         memory_space=pltpu.VMEM,
     )
-    ns = nt // tps
-    y2d = pl.pallas_call(
-        functools.partial(_kernel, acc_dtype=acc_dtype, tps=tps),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
         grid=(ns,),
         in_specs=[
-            pl.BlockSpec((nt,), lambda s: (Z,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns,), lambda s: (Z,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns,), lambda s: (Z,), memory_space=pltpu.SMEM),
             tile_spec,  # vals
             tile_spec,  # src_tab
             pl.BlockSpec(
-                x2d.shape, lambda s: (Z, Z), memory_space=pltpu.VMEM
+                x2d.shape, lambda s, w, c, g, f: (Z, Z),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (dev.n_chunks, TILE_J, LANES),
-            lambda s: (Z, Z, Z),
+            (G, TILE_J, LANES),
+            lambda s, w, c, g, f: (g[s], Z, Z),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((dev.n_chunks, TILE_J, LANES), x.dtype),
-        scratch_shapes=[pltpu.VMEM((TILE_J, LANES), acc_dtype)],
+    )
+    y2d = pl.pallas_call(
+        functools.partial(_kernel, acc_dtype=acc_dtype, tps=tps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (dev.n_groups * G, TILE_J, LANES), acc_dtype
+        ),
         interpret=interpret,
-    )(dev.w_row, dev.step_chunk, dev.step_flags, dev.vals, dev.src_tab, x2d)
-    return y2d.reshape(-1)[:n_pad]
+    )(dev.w_row, dev.tile_cl, dev.step_group, dev.step_first,
+      dev.vals, dev.src_tab, x2d)
+    return y2d.reshape(-1)[: n_pad].astype(x.dtype)
 
 
 def spmv_pallas(dev, x, interpret: Optional[bool] = None):
