@@ -2,12 +2,18 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Benchmark: SELL-C-sigma SpMV (C=16, sigma=512, sp) on a generated 3-D
-Laplacian (the reference's intended SuiteSparse FEM workloads are
-stencil-like; no network egress here, so the matrix is generated). Metric is
-effective memory bandwidth (GB/s) — SpMV is bandwidth-bound, and the
-BASELINE.json target is >= 80% of the per-chip HBM roofline
-(TPU v5e: ~819 GB/s), so vs_baseline = gbps / (0.8 * 819).
+Benchmark: SELL-C-sigma SpMV (TPU-native C=1024 lane-tile kernel, sp) on a
+generated 3-D Laplacian (the reference's intended SuiteSparse FEM workloads
+are stencil-like; no network egress here, so the matrix is generated).
+
+Metric: SpMV GFLOP/s (the reference's headline, nnz*2/t, main.cpp:521-526).
+vs_baseline normalizes by the speed of an IDEAL memory-bound SpMV running at
+80% of the chip's HBM roofline with the reference's storage accounting
+(8 bytes/nonzero: f32 value + i32 column index, plus x and y once) — the
+BASELINE.json ">= 80% of roofline" target expressed in time. This is
+layout-independent: shrinking our streams (i16 gather tables) or padding
+them cannot game it; only real speed moves it. vs_baseline >= 1.0 means
+faster than a perfect 80%-roofline classical SpMV.
 """
 
 import json
@@ -55,20 +61,23 @@ def main() -> int:
         use_pallas=True,
     )
     op = SpmvOperator.from_mtx(cfg, mtx)
-    res = bench_spmv(op, warmup=20, start_iters=10)
+    res = bench_spmv(op, warmup=20, start_iters=64)
 
     device = op.device if op.device is not None else jax.devices()[0]
     roof = roofline_for(device)
-    target = 0.8 * roof
+    # ideal 80%-of-roofline classical SpMV: 8 B per nonzero + x + y once
+    ref_bytes = 8.0 * op.nnz + 2 * 4.0 * op.n_rows
+    t_ref = ref_bytes / (0.8 * roof * 1e9)
+    baseline_gflops = 2.0 * op.nnz / t_ref / 1e9
     print(
         json.dumps(
             {
-                "metric": "scs_spmv_effective_bandwidth (C=1024 sigma=1 sp, "
+                "metric": "scs_spmv_gflops (C=1024 lane tiles, sp, "
                 f"Laplace3D-64^3, {device.device_kind})",
-                "value": round(res.effective_gbps, 2),
-                "unit": "GB/s",
-                "vs_baseline": round(res.effective_gbps / target, 4),
-                "gflops": round(res.perf_gflops, 2),
+                "value": round(res.perf_gflops, 2),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(res.perf_gflops / baseline_gflops, 4),
+                "effective_gbps": round(res.effective_gbps, 2),
                 "n_iterations": res.n_iterations,
                 "platform": res.platform,
             }

@@ -54,15 +54,19 @@ def pallas_supported() -> bool:
         return False
 
 
+CL_BITS = 6  # chunk-local index bits in the packed meta word (G <= 64)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceLaneTiles:
     """Device-side arrays of the packed lane tiles. A JAX pytree."""
 
     vals: jax.Array  # [nt, 8, 128]
-    src_tab: jax.Array  # [nt, 8, 128] int32 packed (sub<<7)|lane
-    w_row: jax.Array  # [nt] int32
-    tile_cl: jax.Array  # [nt] int32: chunk local to the tile's group
+    src16: jax.Array  # [nt/2, 16, 128] int16: packed (sub<<7)|lane gather
+    #                   tables, two (8, 128) tiles per native i16 tile —
+    #                   2 bytes/element of index stream
+    meta: jax.Array  # [nt] int32 packed (w_row << CL_BITS) | chunk_local
     step_group: jax.Array  # [ns] int32: output group of each grid step
     step_first: jax.Array  # [ns] int32: 1 = first step of its group
 
@@ -84,7 +88,7 @@ class DeviceLaneTiles:
 
     def stream_bytes(self) -> int:
         """Matrix bytes streamed per SpMV (vals + packed gather tables)."""
-        return int(self.vals.nbytes + self.src_tab.nbytes)
+        return int(self.vals.nbytes + self.src16.nbytes)
 
 
 def build_device_lane_tiles(
@@ -102,8 +106,17 @@ def build_device_lane_tiles(
     )
     tps = lt.tiles_per_step
     G = lt.chunks_per_group
+    if G > (1 << CL_BITS):
+        raise ValueError(f"chunks_per_group > {1 << CL_BITS} breaks meta packing")
     tile_group = lt.tile_chunk // G
     tile_cl = (lt.tile_chunk - tile_group * G).astype(np.int32)
+    meta = (lt.w_row.astype(np.int32) << CL_BITS) | tile_cl
+    # the 10-bit gather tables ride an int16 stream, two j-plane tiles per
+    # native (16, 128) i16 tile
+    assert lt.n_tiles % 2 == 0
+    src16 = lt.src_tab.astype(np.int16).reshape(
+        lt.n_tiles // 2, 2 * TILE_J, LANES
+    )
     step_group = tile_group[::tps].astype(np.int32)
     ns = step_group.shape[0]
     first = np.ones(ns, dtype=np.int32)
@@ -111,9 +124,8 @@ def build_device_lane_tiles(
     put = lambda a: jax.device_put(a, device) if device else jnp.asarray(a)
     return DeviceLaneTiles(
         vals=put(lt.vals),
-        src_tab=put(lt.src_tab),
-        w_row=put(lt.w_row),
-        tile_cl=put(tile_cl),
+        src16=put(src16),
+        meta=put(meta),
         step_group=put(step_group),
         step_first=put(first),
         tiles_per_step=tps,
@@ -128,13 +140,12 @@ def build_device_lane_tiles(
 
 def _kernel(
     # scalar-prefetch refs (SMEM)
-    w_row_ref,  # [nt] int32
-    tile_cl_ref,  # [nt] int32
+    meta_ref,  # [nt] int32 packed (w_row << CL_BITS) | chunk_local
     sg_ref,  # [ns] int32 (consumed by the out index map)
     sf_ref,  # [ns] int32: 1 = first step of group
     # blocked inputs
     vals_ref,  # (TILES_PER_STEP, 8, 128)
-    src_ref,  # (TILES_PER_STEP, 8, 128) int32
+    src_ref,  # (TILES_PER_STEP/2, 16, 128) int16 gather tables
     x_ref,  # (x_rows, 128) whole x in VMEM
     out_ref,  # (G, 8, 128) the step's group output block (VMEM-resident
     #           across the group's consecutive steps)
@@ -150,19 +161,20 @@ def _kernel(
         out_ref[...] = jnp.zeros_like(out_ref)
 
     base = step * tps
-    # the hot loop is branch-free; each tile does 2 unpack ops, 2 hardware
-    # gathers, 1 fma and 1 dynamic VMEM read-modify-write
+    # the hot loop is branch-free; each tile does 1 SMEM meta read, 2 unpack
+    # ops, 2 hardware gathers, 1 fma and 1 dynamic VMEM read-modify-write
     for k in range(tps):
-        t = base + k
-        w = w_row_ref[t]
+        m = meta_ref[base + k]
+        w = m >> CL_BITS
+        cl = jnp.bitwise_and(m, (1 << CL_BITS) - 1)
         window = x_ref[pl.ds(w, TILE_J), :]
-        packed = src_ref[k]
+        half = (k % 2) * TILE_J
+        packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
         lane_tab = jnp.bitwise_and(packed, LANES - 1)
         sub_tab = jnp.right_shift(packed, 7)
         t1 = gather_sublanes(window, sub_tab)
         g = gather_lanes(t1, lane_tab)
         partial = vals_ref[k].astype(acc_dtype) * g.astype(acc_dtype)
-        cl = tile_cl_ref[t]
         out_ref[cl] = out_ref[cl] + partial
 
 
@@ -190,25 +202,28 @@ def spmv_lane_tiles(
     G = dev.chunks_per_group
     assert nt % tps == 0
     ns = nt // tps
-    tile_spec = pl.BlockSpec(
-        (tps, TILE_J, LANES),
-        lambda s, w, c, g, f: (s, Z, Z),
-        memory_space=pltpu.VMEM,
-    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(ns,),
         in_specs=[
-            tile_spec,  # vals
-            tile_spec,  # src_tab
             pl.BlockSpec(
-                x2d.shape, lambda s, w, c, g, f: (Z, Z),
+                (tps, TILE_J, LANES),
+                lambda s, m, g, f: (s, Z, Z),
+                memory_space=pltpu.VMEM,
+            ),  # vals
+            pl.BlockSpec(
+                (tps // 2, 2 * TILE_J, LANES),
+                lambda s, m, g, f: (s, Z, Z),
+                memory_space=pltpu.VMEM,
+            ),  # src16
+            pl.BlockSpec(
+                x2d.shape, lambda s, m, g, f: (Z, Z),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (G, TILE_J, LANES),
-            lambda s, w, c, g, f: (g[s], Z, Z),
+            lambda s, m, g, f: (g[s], Z, Z),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -219,8 +234,7 @@ def spmv_lane_tiles(
             (dev.n_groups * G, TILE_J, LANES), acc_dtype
         ),
         interpret=interpret,
-    )(dev.w_row, dev.tile_cl, dev.step_group, dev.step_first,
-      dev.vals, dev.src_tab, x2d)
+    )(dev.meta, dev.step_group, dev.step_first, dev.vals, dev.src16, x2d)
     return y2d.reshape(-1)[: n_pad].astype(x.dtype)
 
 
