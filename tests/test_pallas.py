@@ -155,6 +155,42 @@ def test_operator_lane_tiles_block_vectors():
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
 
 
+def test_operator_lane_tiles_hp_bf16():
+    """hp streams bfloat16 values (paired (16,128) tiles); x/y and the
+    accumulator stay f32, so accuracy is bf16-value-quantization only."""
+    cfg = Config(
+        kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
+        value_type="hp", use_pallas=True, backend="cpu",
+    )
+    mtx = laplace2d(32)
+    op = SpmvOperator.from_mtx(cfg, mtx)
+    import ml_dtypes
+
+    assert op.devs["hp"].vals.dtype == ml_dtypes.bfloat16
+    assert op.devs["hp"].vals.shape[1] == 16  # paired tiles
+    x = np.random.default_rng(3).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x))).astype(np.float64)
+    ref = mtx.to_scipy().tocsr() @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_operator_lane_tiles_ap_sp_hp():
+    """ap[sp_hp]: two lane-tile structs sharing one permutation, summed."""
+    cfg = Config(
+        kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
+        value_type="ap[sp_hp]", ap_threshold_1=2.0,
+        use_pallas=True, backend="cpu",
+    )
+    mtx = random_banded(1500, 40, 7, seed=12)
+    op = SpmvOperator.from_mtx(cfg, mtx)
+    assert set(op.devs) == {"sp", "hp"}
+    x = np.random.default_rng(4).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x))).astype(np.float64)
+    ref = mtx.to_scipy().tocsr() @ x
+    # |a| >= 2 in f32, small values in bf16
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-2
+
+
 def test_dp_falls_back_to_xla():
     cfg = Config(
         kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,

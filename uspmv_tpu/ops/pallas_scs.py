@@ -62,7 +62,8 @@ CL_BITS = 6  # chunk-local index bits in the packed meta word (G <= 64)
 class DeviceLaneTiles:
     """Device-side arrays of the packed lane tiles. A JAX pytree."""
 
-    vals: jax.Array  # [nt, 8, 128]
+    vals: jax.Array  # [nt, 8, 128] f32, or [nt/2, 16, 128] for 2-byte value
+    #                   dtypes (hp=bfloat16) — paired like src16
     src16: jax.Array  # [nt/2, 16, 128] int16: packed (sub<<7)|lane gather
     #                   tables, two (8, 128) tiles per native i16 tile —
     #                   2 bytes/element of index stream
@@ -80,7 +81,7 @@ class DeviceLaneTiles:
 
     @property
     def n_tiles(self) -> int:
-        return self.vals.shape[0]
+        return self.meta.shape[0]
 
     @property
     def device_beta(self) -> float:
@@ -112,18 +113,22 @@ def build_device_lane_tiles(
     tile_cl = (lt.tile_chunk - tile_group * G).astype(np.int32)
     meta = (lt.w_row.astype(np.int32) << CL_BITS) | tile_cl
     # the 10-bit gather tables ride an int16 stream, two j-plane tiles per
-    # native (16, 128) i16 tile
+    # native (16, 128) i16 tile; 2-byte value dtypes (hp = bfloat16) pair
+    # the same way so the value stream is 2 bytes/element too
     assert lt.n_tiles % 2 == 0
     src16 = lt.src_tab.astype(np.int16).reshape(
         lt.n_tiles // 2, 2 * TILE_J, LANES
     )
+    vals = lt.vals
+    if vals.dtype.itemsize == 2:
+        vals = vals.reshape(lt.n_tiles // 2, 2 * TILE_J, LANES)
     step_group = tile_group[::tps].astype(np.int32)
     ns = step_group.shape[0]
     first = np.ones(ns, dtype=np.int32)
     first[1:] = (step_group[1:] != step_group[:-1]).astype(np.int32)
     put = lambda a: jax.device_put(a, device) if device else jnp.asarray(a)
     return DeviceLaneTiles(
-        vals=put(lt.vals),
+        vals=put(vals),
         src16=put(src16),
         meta=put(meta),
         step_group=put(step_group),
@@ -161,6 +166,7 @@ def _kernel(
         out_ref[...] = jnp.zeros_like(out_ref)
 
     base = step * tps
+    vals_paired = vals_ref.shape[1] == 2 * TILE_J
     # the hot loop is branch-free; each tile does 1 SMEM meta read, 2 unpack
     # ops, 2 hardware gathers, 1 fma and 1 dynamic VMEM read-modify-write
     for k in range(tps):
@@ -174,7 +180,11 @@ def _kernel(
         sub_tab = jnp.right_shift(packed, 7)
         t1 = gather_sublanes(window, sub_tab)
         g = gather_lanes(t1, lane_tab)
-        partial = vals_ref[k].astype(acc_dtype) * g.astype(acc_dtype)
+        if vals_paired:  # 2-byte dtypes ride (16,128) tiles like src16
+            v = vals_ref[k // 2, pl.ds(half, TILE_J), :]
+        else:
+            v = vals_ref[k]
+        partial = v.astype(acc_dtype) * g.astype(acc_dtype)
         out_ref[cl] = out_ref[cl] + partial
 
 
@@ -188,8 +198,13 @@ def spmv_lane_tiles(
     n_pad = dev.n_rows_padded
     x_rows = max(n_pad // LANES, TILE_J)
     x2d = x
-    if x.shape[0] < x_rows * LANES:
-        x2d = jnp.pad(x, (0, x_rows * LANES - x.shape[0]))
+    # 2-byte x (hp mode) is widened to f32 for the kernel: dynamic window
+    # slices need f32 sublane alignment, and accumulating in f32 makes our
+    # hp strictly more accurate than the reference's all-half path
+    if x2d.dtype.itemsize == 2:
+        x2d = x2d.astype(jnp.float32)
+    if x2d.shape[0] < x_rows * LANES:
+        x2d = jnp.pad(x2d, (0, x_rows * LANES - x2d.shape[0]))
     x2d = x2d.reshape(x_rows, LANES)
 
     acc_dtype = jnp.float32 if x.dtype != jnp.float64 else jnp.float64
@@ -207,10 +222,12 @@ def spmv_lane_tiles(
         grid=(ns,),
         in_specs=[
             pl.BlockSpec(
-                (tps, TILE_J, LANES),
+                (tps // 2, 2 * TILE_J, LANES)
+                if dev.vals.shape[1] == 2 * TILE_J
+                else (tps, TILE_J, LANES),
                 lambda s, m, g, f: (s, Z, Z),
                 memory_space=pltpu.VMEM,
-            ),  # vals
+            ),  # vals (paired tiles for 2-byte dtypes)
             pl.BlockSpec(
                 (tps // 2, 2 * TILE_J, LANES),
                 lambda s, m, g, f: (s, Z, Z),

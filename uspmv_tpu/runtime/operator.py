@@ -163,10 +163,11 @@ class SpmvOperator:
             from ..ops.pallas_scs import build_device_lane_tiles
 
             devs = {
-                # bf16 values are held as f32 in the lane tiles for now
-                # (TPU bf16 tile shapes differ; native bf16 streams later)
+                # values stream in the precision's own dtype (hp = bfloat16,
+                # the TPU analogue of the reference's _Float16); the kernel
+                # accumulates in f32 like the reference's AP kernels
                 p: build_device_lane_tiles(
-                    s, dtype=np.float32, device=device
+                    s, dtype=dtype_for(p), device=device
                 )
                 for p, s in scs.items()
             }
