@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Validation campaign — the reference's SLURM validate.sh sweep
+(scripts/validate{,_master,_no_mpi,_one_proc,_multi_proc}.sh) as one script.
+
+Sweeps C x sigma x precision x rand_x x seg_method x shards in SOLVE mode on
+the bundled small matrices, each run through the real CLI driver
+(python -m uspmv_tpu.cli ... -mode s -validate 1), which validates against
+scipy.sparse (the MKL stand-in) at the reference tolerances and exits
+nonzero on ERROR — the reference campaign greps its compare files for
+"ERROR" the same way (validate.sh:24-46).
+
+Usage:
+  python scripts/validate_campaign.py [--quick] [--matrices m.mtx ...]
+  [--shards N] [--platform cpu|tpu]
+"""
+
+import argparse
+import itertools
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="reduced sweep")
+    ap.add_argument("--matrices", nargs="*", default=None)
+    ap.add_argument("--shards", type=int, default=1)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        if args.shards > 1:
+            os.environ.setdefault(
+                "XLA_FLAGS",
+                f"--xla_force_host_platform_device_count={args.shards}",
+            )
+
+    from uspmv_tpu import cli
+
+    default_dir = "/root/reference/matrices"
+    matrices = args.matrices or [
+        os.path.join(default_dir, f)
+        for f in ("FDM-2d-16.mtx", "matrix1.mtx", "impcol_e.mtx")
+        if os.path.exists(os.path.join(default_dir, f))
+    ]
+    if not matrices:
+        print("no matrices found", file=sys.stderr)
+        return 2
+
+    # reference sweep: C,sigma in {1,2,3,4,8,10,16,32,64}^2 (validate.sh)
+    cs = [1, 2, 4, 16] if args.quick else [1, 2, 3, 4, 8, 10, 16, 32, 64]
+    sigmas = [1, 4, 64] if args.quick else [1, 2, 3, 4, 8, 10, 16, 32, 64]
+    precs = ["-dp", "-sp"] if args.quick else ["-dp", "-sp", "-hp", "-ap"]
+    rand_x = ["0", "1"]
+    out_dir = os.environ.get("USPMV_CAMPAIGN_DIR", "/tmp/uspmv_campaign")
+    os.makedirs(out_dir, exist_ok=True)
+
+    n_runs = n_fail = 0
+    for path, C, sigma, prec, rx in itertools.product(
+        matrices, cs, sigmas, precs, rand_x
+    ):
+        fmt = "crs" if (C == 1 and sigma == 1) else "scs"
+        argv = [
+            path, fmt, "-c", str(C), "-s", str(sigma),
+            "-mode", "s", "-rev", "3", "-validate", "1",
+            "-rand_x", rx, "-mtx_out", out_dir,
+            "-n_shards", str(args.shards),
+        ]
+        if prec == "-ap":
+            argv += ["-ap_value_type", "ap[dp_sp]", "-ap_threshold_1", "0.5"]
+        else:
+            argv.append(prec)
+        n_runs += 1
+        try:
+            rc = cli.main(argv)
+        except Exception as e:  # noqa: BLE001 - campaign must keep going
+            rc = 3
+            print(f"EXCEPTION {os.path.basename(path)} C={C} s={sigma} "
+                  f"{prec} rand_x={rx}: {e}")
+        if rc != 0:
+            n_fail += 1
+            print(f"ERROR rc={rc} {os.path.basename(path)} C={C} "
+                  f"sigma={sigma} {prec} rand_x={rx}")
+    print(f"campaign: {n_runs} runs, {n_fail} failures")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,143 @@
+"""Auxiliary subsystems: sanity checker, profiling hooks, ScaMaC generators,
+embedding interface (SURVEY.md §2 #4, #28, #30, #34)."""
+
+import numpy as np
+import pytest
+
+from uspmv_tpu.formats.coo import MtxData
+from uspmv_tpu.io.generators import generate_matrix, laplace2d
+from uspmv_tpu.io.scamac import anderson, scamac_generate, spin_chain_xxz
+from uspmv_tpu.runtime.sanity import SanityChecker
+from uspmv_tpu.runtime import profiling
+
+
+# ------------------------------------------------------------------ scamac
+
+
+def test_anderson_structure():
+    m = anderson(4, 4, 4, disorder=10.0, seed=3)
+    assert m.n_rows == 64
+    d = m.to_scipy().toarray()
+    np.testing.assert_allclose(d, d.T)  # symmetric
+    off = d - np.diag(np.diag(d))
+    assert set(np.unique(off)) <= {0.0, -1.0}  # hopping -1
+    assert np.abs(np.diag(d)).max() <= 5.0  # disorder/2
+    # interior site has 6 neighbors
+    assert (off != 0).sum(axis=1).max() == 6
+
+
+def test_spin_chain_hermitian_and_magnon():
+    m = spin_chain_xxz(L=6, Jxy=1.0, Jz=0.7, Bz=0.0)
+    assert m.n_rows == 64
+    d = m.to_scipy().toarray()
+    np.testing.assert_allclose(d, d.T)
+    # all-up state |111111> is an eigenstate with energy Jz*L_bonds/4
+    e = d[-1, -1]
+    np.testing.assert_allclose(e, 0.7 * 5 / 4.0)
+    assert np.count_nonzero(d[-1]) == 1  # no spin flips possible
+
+
+def test_scamac_spec_parsing():
+    m = scamac_generate("Anderson,Lx=3,Ly=3,Lz=2,disorder=4.0,seed=9")
+    assert m.n_rows == 18
+    m2 = generate_matrix("SpinChainXXZ,L=4")  # routed through generators
+    assert m2.n_rows == 16
+    with pytest.raises(ValueError, match="unknown"):
+        generate_matrix("NoSuchModel,x=1")
+
+
+# ------------------------------------------------------------------ sanity
+
+
+def test_sanity_checker_dumps_and_checks(tmp_path):
+    c = SanityChecker(str(tmp_path), rank=0)
+    c.dump_stage("before_spmv", x=np.arange(4.0), y=np.zeros(4))
+    c.check_perm(np.array([2, 0, 1]))
+    with pytest.raises(AssertionError, match="bijection|range"):
+        c.check_perm(np.array([0, 0, 1]))
+    c.check_finite("ok", np.ones(3))
+    with pytest.raises(AssertionError, match="non-finite"):
+        c.check_finite("bad", np.array([1.0, np.nan]))
+    text = open(c.path).read()
+    assert "before_spmv.x" in text and "before_spmv.y" in text
+
+
+def test_sanity_checker_scs_padding():
+    from uspmv_tpu.formats.scs import convert_to_scs
+
+    mtx = laplace2d(8)
+    scs = convert_to_scs(mtx, 16, 16)
+    SanityChecker(".", enabled=True).check_scs_padding(scs)
+    # corrupt one padding slot
+    pad = np.flatnonzero(scs.padding_mask())
+    if pad.size:
+        scs.values[pad[0]] = 7.0
+        with pytest.raises(AssertionError, match="padding"):
+            SanityChecker(".", enabled=True).check_scs_padding(scs)
+
+
+# --------------------------------------------------------------- profiling
+
+
+def test_profiling_markers_and_trace(capsys):
+    with profiling.marker("spmv_scs_benchmark"):
+        _ = np.ones(4).sum()
+    assert "spmv_scs_benchmark" in profiling.registered_markers()
+    with profiling.trace():  # host-timer fallback path
+        _ = np.ones(4).sum()
+    assert "region took" in capsys.readouterr().out
+
+    from uspmv_tpu.config import Config
+
+    cfg = Config(kernel_format="scs", chunk_size=2, value_type="sp",
+                 block_vec_size=4)
+    assert profiling.kernel_marker_name(cfg) == "block_spmv_scs_benchmark"
+
+
+# --------------------------------------------------------------- interface
+
+
+def test_interface_prepare_execute():
+    import uspmv_tpu.interface as ui
+
+    mtx = laplace2d(12)
+    h = ui.prepare(mtx, C=4, sigma=8, value_type="dp", backend="cpu")
+    x = np.random.default_rng(0).standard_normal(mtx.n_rows)
+    y = ui.execute_uspmv(h, x)
+    ref = mtx.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
+    # repeated-SpMV solve
+    y3 = ui.execute_uspmv(h, x, n_repetitions=3)
+    A = mtx.to_scipy().tocsr()
+    np.testing.assert_allclose(y3, A @ (A @ (A @ x)), rtol=1e-10, atol=1e-10)
+
+
+def test_interface_accepts_scipy_and_dense():
+    import scipy.sparse as sp
+
+    import uspmv_tpu.interface as ui
+
+    rng = np.random.default_rng(1)
+    dense = np.triu(rng.standard_normal((9, 9)))
+    h = ui.prepare(dense, backend="cpu")  # CRS by default
+    x = rng.standard_normal(9)
+    np.testing.assert_allclose(
+        ui.execute_uspmv(h, x), dense @ x, rtol=1e-12, atol=1e-12
+    )
+    h2 = ui.prepare(sp.csr_matrix(dense), C=2, sigma=2, backend="cpu")
+    np.testing.assert_allclose(
+        ui.execute_uspmv(h2, x), dense @ x, rtol=1e-12, atol=1e-12
+    )
+
+
+def test_interface_reference_host_kernel():
+    import uspmv_tpu.interface as ui
+    from uspmv_tpu.formats.scs import convert_to_scs
+
+    mtx = laplace2d(10)
+    scs = convert_to_scs(mtx, 8, 16)
+    x = np.random.default_rng(2).standard_normal(mtx.n_rows)
+    np.testing.assert_allclose(
+        ui.spmv_reference_host(scs, x), mtx.to_scipy().tocsr() @ x,
+        rtol=1e-12, atol=1e-12,
+    )

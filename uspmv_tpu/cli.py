@@ -103,6 +103,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-output_sparsity", action="store_true")
     p.add_argument("-backend", choices=["auto", "cpu", "tpu"], default="auto")
     p.add_argument("-impl", choices=["auto", "xla"], default="auto")
+    p.add_argument("-debug", type=int, choices=[0, 1], default=0,
+                   help="DEBUG_MODE_FINE analogue: stage dumps + checks")
     p.add_argument("-mtx_out", default=".", dest="output_dir")
     p.add_argument("-seed", type=int, default=42)
     p.add_argument("-json", action="store_true", help="print result as JSON")
@@ -150,6 +152,7 @@ def config_from_args(args) -> Config:
         output_dir=args.output_dir,
         matrix_file_name=args.matrix,
         seed=args.seed,
+        debug_mode=bool(args.debug),
     )
 
 
@@ -204,12 +207,26 @@ def main(argv=None) -> int:
     # solve mode
     from .ops.vectors import init_x_host
 
+    checker = None
+    if cfg.debug_mode:
+        from .runtime.sanity import SanityChecker
+
+        checker = SanityChecker(cfg.output_dir)
+        for s in getattr(op, "scs", {}).values():
+            checker.check_scs_padding(s)
+
     x0 = init_x_host(
         cfg, op.n_rows, op.matrix_stats, dtype=np.float64
     )
     xd = op.make_x(x0)
+    if checker:
+        checker.dump_stage("before_solve", x=np.asarray(xd))
     _, y = op.solve(xd, cfg.n_repetitions)
     y_host = op.to_host(y)
+    if checker:
+        checker.dump_stage("after_solve", y=np.asarray(y_host))
+        checker.check_finite("solve result", y_host)
+        print(f"[debug] sanity dumps -> {checker.path}")
     if cfg.validate_result:
         rep = validate_solve(mtx, x0, np.asarray(y_host, dtype=np.float64), cfg.n_repetitions)
         write_result_to_file(cfg, rep, cfg.n_repetitions)

@@ -105,6 +105,9 @@ class Config:
     mode_matrix_stats: bool = False  # -matrix_stats
     output_sparsity: bool = False  # OUTPUT_SPARSITY compile flag analogue
     log_prof: bool = False
+    # DEBUG_MODE_FINE analogue: stage dumps + invariant checks via
+    # runtime/sanity.SanityChecker
+    debug_mode: bool = False
 
     def validate(self) -> None:
         """Cross-validation of flag combinations (ref utilities.hpp:1047-1545).

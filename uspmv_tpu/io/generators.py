@@ -127,12 +127,19 @@ _GENERATORS = {
 def generate_matrix(spec: str) -> MtxData:
     """Generate a matrix from a spec string ``Name,arg1,arg2,...``
     (analogue of the reference's ScaMaC argument string,
-    utilities.hpp:1585-1752)."""
+    utilities.hpp:1585-1752). ScaMaC-style quantum models (Anderson,
+    SpinChainXXZ, ... with key=value options) route to io.scamac."""
     parts = spec.split(",")
     name = parts[0]
     if name not in _GENERATORS:
-        raise ValueError(
-            f"unknown generator {name!r}; available: {sorted(_GENERATORS)}"
-        )
+        from .scamac import scamac_generate
+
+        try:
+            return scamac_generate(spec)
+        except ValueError:
+            raise ValueError(
+                f"unknown generator {name!r}; available: "
+                f"{sorted(_GENERATORS)} + ScaMaC models (io/scamac.py)"
+            ) from None
     args = [float(a) if "." in a else int(a) for a in parts[1:]]
     return _GENERATORS[name](*args)
