@@ -246,3 +246,46 @@ def test_single_shard_degenerates():
     x = np.random.default_rng(6).standard_normal(mtx.n_rows)
     y = op.to_host(op.spmv(op.make_x(x)))
     np.testing.assert_allclose(y, mtx.to_scipy().tocsr() @ x, rtol=1e-12)
+
+
+# ----------------------------------------------------- comm/compute overlap
+
+
+@pytest.mark.parametrize("overlap", [True, False])
+def test_overlap_split_matches_unsplit(overlap):
+    """Interior/halo element split (SURVEY.md §7 stage 8) is numerically
+    identical to the unsplit path."""
+    mtx = random_imbalanced(600, 6, seed=21)
+    cfg = Config(
+        kernel_format="scs", chunk_size=8, sigma=16, value_type="dp",
+        n_shards=4, seg_method="seg-nnz", overlap_comm=overlap,
+    )
+    op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+    if overlap:
+        assert any(d is not None for d in op.devs_halo.values())
+        halo_nnz = sum(d.nnz for d in op.devs_halo.values() if d is not None)
+        interior_nnz = sum(d.nnz for d in op.devs.values())
+        assert halo_nnz + interior_nnz == mtx.nnz
+        # the halo part must be the small one for a partitioned matrix
+        assert halo_nnz < mtx.nnz
+    else:
+        assert all(d is None for d in op.devs_halo.values())
+    x = np.random.default_rng(5).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_overlap_comm_volume_unchanged():
+    """Overlap splits compute, not communication — the halo plan and its
+    comm volume are identical either way."""
+    mtx = laplace2d(24)
+    vols = []
+    for overlap in (True, False):
+        cfg = Config(
+            kernel_format="scs", chunk_size=4, sigma=4, value_type="sp",
+            n_shards=4, overlap_comm=overlap,
+        )
+        op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+        vols.append(op.comm_volume_per_spmv())
+    assert vols[0] == vols[1]

@@ -97,6 +97,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-par_pack", type=int, choices=[0, 1], default=1)
     p.add_argument("-no_pack", type=int, choices=[0, 1], default=0)
     p.add_argument("-print_comm_vol", type=int, choices=[0, 1], default=0)
+    p.add_argument("-overlap", type=int, choices=[0, 1], default=1,
+                   help="overlap halo exchange with interior SpMV")
     p.add_argument("-validate", type=int, choices=[0, 1], default=1)
     p.add_argument("-verbose", type=int, choices=[0, 1], default=0)
     p.add_argument("-matrix_stats", action="store_true")
@@ -146,6 +148,7 @@ def config_from_args(args) -> Config:
         par_pack=bool(args.par_pack),
         no_pack=bool(args.no_pack),
         print_comm_vol=bool(args.print_comm_vol),
+        overlap_comm=bool(args.overlap),
         n_shards=args.n_shards,
         backend=args.backend,
         use_pallas=(args.impl == "auto"),

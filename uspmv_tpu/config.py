@@ -87,6 +87,12 @@ class Config:
     # --- distribution (reference: -seg_method, MPI_MODE) ---
     seg_method: str = "seg-rows"
     comm_mode: str = "bulkvec"
+    # Comm/compute overlap (SURVEY.md §7 stage 8): split each shard's matrix
+    # into interior elements (local columns, computed while the halo
+    # exchange is in flight — XLA async collectives) and halo elements
+    # (applied after). The reference structures for this but never does it
+    # (main.cpp:408-418,464-469 call begin+finish back-to-back).
+    overlap_comm: bool = True
     comm_halos: bool = True  # reference: -comm_halos
     ba_synch: bool = True  # block_until_ready between timed iterations
     par_pack: bool = True  # pack on device (always parallel on TPU)

@@ -109,6 +109,30 @@ class _PrecPlan:
     scatters: List[jax.Array]  # per offset: [R, max_d] int32
 
 
+def _split_scs_for_overlap(scs: ScsData):
+    """Split a halo-renumbered local SCS into (interior, halo) element
+    structs over the same permuted row space (comm/compute overlap,
+    SURVEY.md §7 stage 8: interior SpMV runs while ppermutes are in
+    flight). Returns (interior ScsData, halo ScsData or None if the shard
+    needs no remote columns)."""
+    boundary = scs.n_rows_padded
+    keep = ~scs.padding_mask()
+    rows = scs.flat_row_idx()
+    is_halo = keep & (scs.col_idxs >= boundary)
+    is_int = keep & ~is_halo
+    n_cols = max(int(scs.col_idxs.max(initial=0)) + 1, boundary)
+    ident = np.arange(scs.n_rows_padded, dtype=np.int32)
+
+    def build(mask):
+        sub = MtxData.from_arrays(
+            rows[mask], scs.col_idxs[mask], scs.values[mask],
+            n_rows=scs.n_rows_padded, n_cols=n_cols,
+        )
+        return convert_to_scs(sub, scs.C, 1, fixed_permutation=ident)
+
+    return build(is_int), build(is_halo)
+
+
 @dataclasses.dataclass
 class DistributedSpmvOperator:
     """Drop-in sharded analogue of SpmvOperator (same public surface)."""
@@ -119,7 +143,8 @@ class DistributedSpmvOperator:
     n_rows_padded: int  # common per-shard local padded length
     work_sharing: np.ndarray
     scs: Dict[str, List[ScsData]]  # per precision, per shard (host)
-    devs: Dict[str, DeviceScs]  # stacked [R, ...]
+    devs: Dict[str, DeviceScs]  # stacked [R, ...] (interior when overlapped)
+    devs_halo: Dict[str, Optional[DeviceScs]]  # halo-column elements, or None
     plans: Dict[str, Optional[_PrecPlan]]
     halo_plans: Dict[str, Optional[HaloPlan]]
     shard_perms: List[np.ndarray]  # per-shard old_to_new (local rows)
@@ -213,12 +238,31 @@ class DistributedSpmvOperator:
                     scatters=[jnp.asarray(hp.recv_scatter_idx[d]) for d in hp.offsets],
                 )
 
-        devs = {
-            p: _stack_device_scs(
-                [build_device_scs(s, tile_elems=config.tile_elems) for s in scs[p]]
-            )
-            for p in precisions
-        }
+        overlap = config.overlap_comm and config.comm_mode != "allgather"
+        devs: Dict[str, DeviceScs] = {}
+        devs_halo: Dict[str, Optional[DeviceScs]] = {}
+        for p in precisions:
+            if overlap:
+                pairs = [_split_scs_for_overlap(s) for s in scs[p]]
+                interior = [a for a, _ in pairs]
+                halos = [b for _, b in pairs]
+                devs[p] = _stack_device_scs(
+                    [build_device_scs(s, tile_elems=config.tile_elems)
+                     for s in interior]
+                )
+                if any(h.nnz for h in halos):
+                    devs_halo[p] = _stack_device_scs(
+                        [build_device_scs(h, tile_elems=config.tile_elems)
+                         for h in halos]
+                    )
+                else:
+                    devs_halo[p] = None
+            else:
+                devs[p] = _stack_device_scs(
+                    [build_device_scs(s, tile_elems=config.tile_elems)
+                     for s in scs[p]]
+                )
+                devs_halo[p] = None
 
         devices = _mesh_devices(config, R)
         mesh = Mesh(devices, ("rows",))
@@ -230,6 +274,7 @@ class DistributedSpmvOperator:
             work_sharing=ws,
             scs=scs,
             devs=devs,
+            devs_halo=devs_halo,
             plans=plans,
             halo_plans=halo_plans,
             shard_perms=shard_perms,
@@ -247,6 +292,11 @@ class DistributedSpmvOperator:
         self.devs = {
             p: jax.tree.map(lambda a: jax.device_put(a, sh), d)
             for p, d in self.devs.items()
+        }
+        self.devs_halo = {
+            p: (jax.tree.map(lambda a: jax.device_put(a, sh), d)
+                if d is not None else None)
+            for p, d in self.devs_halo.items()
         }
         for p, plan in self.plans.items():
             if plan is not None:
@@ -303,7 +353,7 @@ class DistributedSpmvOperator:
             }
             for p in self.devs
         }
-        return (self.devs, plan_arrays)
+        return (self.devs, self.devs_halo, plan_arrays)
 
     def build_spmv_closure(self):
         """Raw (unjitted) sharded step fn(args, x):
@@ -313,7 +363,7 @@ class DistributedSpmvOperator:
         precisions = list(self.devs)
         n_loc = self.n_rows_padded
 
-        def shard_fn(x_blk, devs_blk, plan_arrays):
+        def shard_fn(x_blk, devs_blk, halo_blk, plan_arrays):
             # shard_map gives blocks with leading dim 1
             x = x_blk[0]
             y = None
@@ -322,15 +372,26 @@ class DistributedSpmvOperator:
                 plan = self.plans[p]
                 ga = [a[0] for a in plan_arrays[p]["g"]]
                 sc = [a[0] for a in plan_arrays[p]["s"]]
-                xb = self._exchange(x, plan, ga, sc)
-                yk = impl(dev, xb)[:n_loc]
+                halo = halo_blk.get(p)
+                if halo is not None:
+                    # comm/compute overlap: the interior part reads only
+                    # local x, so XLA schedules it while the ppermutes of
+                    # _exchange are in flight (async collectives); the small
+                    # halo part runs after the exchange completes
+                    halo_dev = jax.tree.map(lambda a: a[0], halo)
+                    yk = impl(dev, x)[:n_loc]
+                    xb = self._exchange(x, plan, ga, sc)
+                    yk = yk + impl(halo_dev, xb)[:n_loc]
+                else:
+                    xb = self._exchange(x, plan, ga, sc)
+                    yk = impl(dev, xb)[:n_loc]
                 y = yk if y is None else y + yk
             return y[None]
 
         fn = _shard_map(
             shard_fn,
             self.mesh,
-            in_specs=(P("rows"), P("rows"), P("rows")),
+            in_specs=(P("rows"), P("rows"), P("rows"), P("rows")),
             out_specs=P("rows"),
         )
 
@@ -338,14 +399,16 @@ class DistributedSpmvOperator:
         if bs > 1 and cfg.vector_layout == "colwise":
             # per-vector exchange+kernel sweep = singlevec/multivec modes
             def step(args, x):  # x: [bs, R, n_loc]
-                devs, plan_arrays = args
-                return jax.vmap(lambda xv: fn(xv, devs, plan_arrays))(x)
+                devs, devs_halo, plan_arrays = args
+                return jax.vmap(
+                    lambda xv: fn(xv, devs, devs_halo, plan_arrays)
+                )(x)
 
         else:
 
             def step(args, x):  # x: [R, n_loc(, bs)]
-                devs, plan_arrays = args
-                return fn(x, devs, plan_arrays)
+                devs, devs_halo, plan_arrays = args
+                return fn(x, devs, devs_halo, plan_arrays)
 
         return step
 
@@ -424,6 +487,9 @@ class DistributedSpmvOperator:
         total = 0
         for dev in self.devs.values():
             total += dev.stream_bytes()
+        for dev in self.devs_halo.values():
+            if dev is not None:
+                total += dev.stream_bytes()
         xw = np.dtype(self.working_dtype).itemsize
         total += self.R * self.n_rows_padded * self.config.block_vec_size * xw * 2
         return total
