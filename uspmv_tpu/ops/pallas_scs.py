@@ -151,12 +151,13 @@ def _kernel(
     # blocked inputs
     vals_ref,  # (TILES_PER_STEP, 8, 128)
     src_ref,  # (TILES_PER_STEP/2, 16, 128) int16 gather tables
-    x_ref,  # (x_rows, 128) whole x in VMEM
-    out_ref,  # (G, 8, 128) the step's group output block (VMEM-resident
+    x_ref,  # (bs, x_rows, 128) all RHS vectors in VMEM
+    out_ref,  # (bs, G, 8, 128) the step's group output block (VMEM-resident
     #           across the group's consecutive steps)
     *,
     acc_dtype,
     tps,
+    bs,
 ):
     del sg_ref
     step = pl.program_id(0)
@@ -168,44 +169,49 @@ def _kernel(
     base = step * tps
     vals_paired = vals_ref.shape[1] == 2 * TILE_J
     # the hot loop is branch-free; each tile does 1 SMEM meta read, 2 unpack
-    # ops, 2 hardware gathers, 1 fma and 1 dynamic VMEM read-modify-write
+    # ops, and per RHS vector 2 hardware gathers, 1 fma and 1 dynamic VMEM
+    # read-modify-write. Block vectors (SpMMV) share one matrix stream —
+    # the whole point of the reference's block kernels (kernels.hpp:306-551)
     for k in range(tps):
         m = meta_ref[base + k]
         w = m >> CL_BITS
         cl = jnp.bitwise_and(m, (1 << CL_BITS) - 1)
-        window = x_ref[pl.ds(w, TILE_J), :]
         half = (k % 2) * TILE_J
         packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
         lane_tab = jnp.bitwise_and(packed, LANES - 1)
         sub_tab = jnp.right_shift(packed, 7)
-        t1 = gather_sublanes(window, sub_tab)
-        g = gather_lanes(t1, lane_tab)
         if vals_paired:  # 2-byte dtypes ride (16,128) tiles like src16
-            v = vals_ref[k // 2, pl.ds(half, TILE_J), :]
+            v = vals_ref[k // 2, pl.ds(half, TILE_J), :].astype(acc_dtype)
         else:
-            v = vals_ref[k]
-        partial = v.astype(acc_dtype) * g.astype(acc_dtype)
-        out_ref[cl] = out_ref[cl] + partial
+            v = vals_ref[k].astype(acc_dtype)
+        for b in range(bs):
+            window = x_ref[b, pl.ds(w, TILE_J), :]
+            t1 = gather_sublanes(window, sub_tab)
+            g = gather_lanes(t1, lane_tab)
+            out_ref[b, cl] = out_ref[b, cl] + v * g.astype(acc_dtype)
 
 
 def spmv_lane_tiles(
     dev: DeviceLaneTiles, x: jax.Array, interpret: Optional[bool] = None
 ) -> jax.Array:
-    """y = A @ x for a single vector. x: [n_rows_padded] (permuted, padded);
-    returns y: [n_rows_padded]."""
+    """y = A @ x. x: [n_rows_padded] (permuted, padded) for one vector, or
+    [n_rows_padded, bs] for a rowwise block vector (SpMMV) — all vectors
+    share one matrix stream. Returns y of the same shape."""
     if interpret is None:
         interpret = not pallas_supported()
     n_pad = dev.n_rows_padded
     x_rows = max(n_pad // LANES, TILE_J)
-    x2d = x
+    block = x.ndim == 2
+    bs = x.shape[1] if block else 1
+    x3d = x if block else x[:, None]
     # 2-byte x (hp mode) is widened to f32 for the kernel: dynamic window
     # slices need f32 sublane alignment, and accumulating in f32 makes our
     # hp strictly more accurate than the reference's all-half path
-    if x2d.dtype.itemsize == 2:
-        x2d = x2d.astype(jnp.float32)
-    if x2d.shape[0] < x_rows * LANES:
-        x2d = jnp.pad(x2d, (0, x_rows * LANES - x2d.shape[0]))
-    x2d = x2d.reshape(x_rows, LANES)
+    if x3d.dtype.itemsize == 2:
+        x3d = x3d.astype(jnp.float32)
+    if x3d.shape[0] < x_rows * LANES:
+        x3d = jnp.pad(x3d, ((0, x_rows * LANES - x3d.shape[0]), (0, 0)))
+    x3d = x3d.T.reshape(bs, x_rows, LANES)
 
     acc_dtype = jnp.float32 if x.dtype != jnp.float64 else jnp.float64
 
@@ -234,40 +240,35 @@ def spmv_lane_tiles(
                 memory_space=pltpu.VMEM,
             ),  # src16
             pl.BlockSpec(
-                x2d.shape, lambda s, m, g, f: (Z, Z),
+                x3d.shape, lambda s, m, g, f: (Z, Z, Z),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (G, TILE_J, LANES),
-            lambda s, m, g, f: (g[s], Z, Z),
+            (bs, G, TILE_J, LANES),
+            lambda s, m, g, f: (Z, g[s], Z, Z),
             memory_space=pltpu.VMEM,
         ),
     )
-    y2d = pl.pallas_call(
-        functools.partial(_kernel, acc_dtype=acc_dtype, tps=tps),
+    y = pl.pallas_call(
+        functools.partial(_kernel, acc_dtype=acc_dtype, tps=tps, bs=bs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (dev.n_groups * G, TILE_J, LANES), acc_dtype
+            (bs, dev.n_groups * G, TILE_J, LANES), acc_dtype
         ),
         interpret=interpret,
-    )(dev.meta, dev.step_group, dev.step_first, dev.vals, dev.src16, x2d)
-    return y2d.reshape(-1)[: n_pad].astype(x.dtype)
+    )(dev.meta, dev.step_group, dev.step_first, dev.vals, dev.src16, x3d)
+    y = y.reshape(bs, -1)[:, :n_pad].T.astype(x.dtype)
+    return y if block else y[:, 0]
 
 
 def spmv_pallas(dev, x, interpret: Optional[bool] = None):
-    """Operator-facing entry: dispatch on device-format type and vector
-    shape. Block vectors are vmapped over the RHS dimension (v1)."""
+    """Operator-facing entry: dispatch on device-format type. Rowwise block
+    vectors ([n, bs]) run the fused SpMMV kernel — one matrix stream shared
+    by all RHS columns."""
     if not isinstance(dev, DeviceLaneTiles):
         # operator passed an XLA DeviceScs (config fallback)
         from .spmv_xla import spmv_tiled
 
         return spmv_tiled(dev, x)
-    if x.ndim == 1:
-        return spmv_lane_tiles(dev, x, interpret=interpret)
-    # [n, bs] rowwise: vmap over the minor dim
-    return jax.vmap(
-        lambda xv: spmv_lane_tiles(dev, xv, interpret=interpret),
-        in_axes=1,
-        out_axes=1,
-    )(x)
+    return spmv_lane_tiles(dev, x, interpret=interpret)
