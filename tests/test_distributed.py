@@ -289,3 +289,31 @@ def test_overlap_comm_volume_unchanged():
         op = DistributedSpmvOperator.from_mtx(cfg, mtx)
         vols.append(op.comm_volume_per_spmv())
     assert vols[0] == vols[1]
+
+
+# ------------------------------------------------------ lane-tile sharding
+
+
+@pytest.mark.parametrize("overlap", [True, False])
+@pytest.mark.parametrize("bs", [1, 3])
+def test_distributed_lane_tiles(overlap, bs):
+    """The Pallas lane-tile kernel runs inside shard_map (interpret mode on
+    the CPU mesh; Mosaic on real TPUs) with halo exchange and overlap."""
+    from uspmv_tpu.io.generators import laplace3d
+    from uspmv_tpu.ops.pallas_scs import DeviceLaneTiles
+
+    mtx = laplace3d(16)
+    cfg = Config(
+        kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
+        n_shards=4, seg_method="seg-nnz", overlap_comm=overlap,
+        block_vec_size=bs, vector_layout="rowwise", use_pallas=True,
+        backend="cpu",
+    )
+    op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+    assert isinstance(op.devs["sp"], DeviceLaneTiles)
+    x = np.random.default_rng(0).standard_normal(
+        (mtx.n_rows, bs) if bs > 1 else mtx.n_rows
+    )
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5

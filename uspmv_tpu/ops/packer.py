@@ -97,13 +97,19 @@ def pack_lane_tiles(
     dtype=np.float32,
     tiles_per_step: int | None = None,
     chunks_per_group: int | None = None,
+    x_len: int | None = None,
 ) -> LaneTiles:
+    """``x_len``: length of the x buffer the kernel will gather from
+    (defaults to n_rows_padded; the distributed path passes the halo-extended
+    buffer length so windows may reach into the halo region)."""
     if scs.C != CHUNK_ROWS:
         raise ValueError(
             f"lane-tile packing requires C={CHUNK_ROWS}, got C={scs.C}"
         )
     n_chunks = scs.n_chunks
-    x_rows = max(scs.n_rows_padded // LANES, TILE_J)
+    if x_len is None:
+        x_len = scs.n_rows_padded
+    x_rows = max((x_len + LANES - 1) // LANES, TILE_J)
     max_wrow = max(x_rows - TILE_J, 0)
 
     # --- flat j-plane view of the SCS stream ---

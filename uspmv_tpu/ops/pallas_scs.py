@@ -98,12 +98,14 @@ def build_device_lane_tiles(
     device=None,
     tiles_per_step=None,
     chunks_per_group=None,
+    x_len=None,
 ) -> DeviceLaneTiles:
     lt = pack_lane_tiles(
         scs,
         dtype=dtype,
         tiles_per_step=tiles_per_step,
         chunks_per_group=chunks_per_group,
+        x_len=x_len,
     )
     tps = lt.tiles_per_step
     G = lt.chunks_per_group
@@ -140,6 +142,67 @@ def build_device_lane_tiles(
         n_rows_padded=lt.n_rows_padded,
         nnz=lt.nnz,
         fill=lt.fill,
+    )
+
+
+def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
+    """Stack per-shard DeviceLaneTiles on a new leading 'rows' axis for
+    shard_map execution. Shards are padded to common tile/step/group counts
+    with no-op steps (zero tiles targeting group 0 of slot cl=0, flagged
+    non-first so they neither zero nor corrupt anything — but note padded
+    TRAILING steps re-target the LAST group so its block stays resident).
+
+    All shards must share tiles_per_step and chunks_per_group (callers build
+    them with explicit common values)."""
+    tps = devs[0].tiles_per_step
+    G = devs[0].chunks_per_group
+    assert all(d.tiles_per_step == tps and d.chunks_per_group == G
+               for d in devs)
+    NG = max(d.n_groups for d in devs)
+    # each shard needs one extra zero-init step per group it doesn't have,
+    # so the common [0, NG*G) output row range is fully defined everywhere
+    NS = max(d.n_tiles // tps + (NG - d.n_groups) for d in devs)
+    NT = NS * tps
+    vp = devs[0].vals.shape[1] == 2 * TILE_J  # paired 2-byte values
+
+    def pad_to(a, n, fill=0):
+        a = np.asarray(a)
+        if a.shape[0] == n:
+            return a
+        width = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, width, constant_values=fill)
+
+    vals, src, meta, sg, sf = [], [], [], [], []
+    for d in devs:
+        nv = NT // 2 if vp else NT
+        vals.append(pad_to(d.vals, nv))
+        src.append(pad_to(d.src16, NT // 2))
+        meta.append(pad_to(d.meta, NT))  # zero meta = += 0 into slot cl=0
+        g = list(np.asarray(d.step_group))
+        f = list(np.asarray(d.step_first))
+        # zero-init steps for the groups this shard doesn't have...
+        for m in range(d.n_groups, NG):
+            g.append(m)
+            f.append(1)
+        # ...then park leftover no-op steps on the final group
+        while len(g) < NS:
+            g.append(g[-1] if g else 0)
+            f.append(0)
+        sg.append(np.asarray(g, dtype=np.int32))
+        sf.append(np.asarray(f, dtype=np.int32))
+    return DeviceLaneTiles(
+        vals=jnp.asarray(np.stack(vals)),
+        src16=jnp.asarray(np.stack(src)),
+        meta=jnp.asarray(np.stack(meta)),
+        step_group=jnp.asarray(np.stack(sg)),
+        step_first=jnp.asarray(np.stack(sf)),
+        tiles_per_step=tps,
+        chunks_per_group=G,
+        n_groups=NG,
+        n_chunks=max(d.n_chunks for d in devs),
+        n_rows_padded=max(d.n_rows_padded for d in devs),
+        nnz=sum(d.nnz for d in devs),
+        fill=float(np.mean([d.fill for d in devs])),
     )
 
 
@@ -200,7 +263,9 @@ def spmv_lane_tiles(
     if interpret is None:
         interpret = not pallas_supported()
     n_pad = dev.n_rows_padded
-    x_rows = max(n_pad // LANES, TILE_J)
+    # x may be longer than the matrix's rows (halo-extended buffer in the
+    # distributed path); windows were clamped to its length at pack time
+    x_rows = max((x.shape[0] + LANES - 1) // LANES, TILE_J)
     block = x.ndim == 2
     bs = x.shape[1] if block else 1
     x3d = x if block else x[:, None]

@@ -48,12 +48,21 @@ from .partition import seg_work_sharing
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, and the halo exchange's ppermutes make the data movement
+    # explicit anyway
     try:
-        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
-    except AttributeError:  # older jax
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    except (AttributeError, TypeError):  # older jax
         from jax.experimental.shard_map import shard_map
 
-        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
 
 
 def _stack_device_scs(devs: List[DeviceScs]) -> DeviceScs:
@@ -239,29 +248,63 @@ class DistributedSpmvOperator:
                 )
 
         overlap = config.overlap_comm and config.comm_mode != "allgather"
+        from ..runtime.operator import use_lane_tiles
+
+        lane = use_lane_tiles(config)
+        if lane:
+            from ..ops.packer import auto_tiles_per_step
+            from ..ops.pallas_scs import (
+                build_device_lane_tiles,
+                stack_device_lane_tiles,
+            )
+
+            # common step width across shards (the stacked kernel is one
+            # program); estimated from the average shard's tile count
+            est_tiles = max(mtx.nnz // R // (config.chunk_size or 1), 1)
+            tps = auto_tiles_per_step(est_tiles)
+
+            def build_stack(structs, p, x_len):
+                return stack_device_lane_tiles([
+                    build_device_lane_tiles(
+                        s, dtype=dtype_for(p), tiles_per_step=tps,
+                        x_len=x_len,
+                    )
+                    for s in structs
+                ])
         devs: Dict[str, DeviceScs] = {}
         devs_halo: Dict[str, Optional[DeviceScs]] = {}
         for p in precisions:
+            # halo-extended x buffer length for this precision's plan
+            H1 = (plans[p].H + 1) if plans[p] is not None else R * n_loc
             if overlap:
                 pairs = [_split_scs_for_overlap(s) for s in scs[p]]
                 interior = [a for a, _ in pairs]
                 halos = [b for _, b in pairs]
-                devs[p] = _stack_device_scs(
-                    [build_device_scs(s, tile_elems=config.tile_elems)
-                     for s in interior]
-                )
-                if any(h.nnz for h in halos):
-                    devs_halo[p] = _stack_device_scs(
-                        [build_device_scs(h, tile_elems=config.tile_elems)
-                         for h in halos]
+                if lane:
+                    devs[p] = build_stack(interior, p, n_loc)
+                else:
+                    devs[p] = _stack_device_scs(
+                        [build_device_scs(s, tile_elems=config.tile_elems)
+                         for s in interior]
                     )
+                if any(h.nnz for h in halos):
+                    if lane:
+                        devs_halo[p] = build_stack(halos, p, H1)
+                    else:
+                        devs_halo[p] = _stack_device_scs(
+                            [build_device_scs(h, tile_elems=config.tile_elems)
+                             for h in halos]
+                        )
                 else:
                     devs_halo[p] = None
             else:
-                devs[p] = _stack_device_scs(
-                    [build_device_scs(s, tile_elems=config.tile_elems)
-                     for s in scs[p]]
-                )
+                if lane:
+                    devs[p] = build_stack(scs[p], p, H1)
+                else:
+                    devs[p] = _stack_device_scs(
+                        [build_device_scs(s, tile_elems=config.tile_elems)
+                         for s in scs[p]]
+                    )
                 devs_halo[p] = None
 
         devices = _mesh_devices(config, R)
@@ -359,7 +402,16 @@ class DistributedSpmvOperator:
         """Raw (unjitted) sharded step fn(args, x):
         [R, n_loc(, bs)] -> [R, n_loc(, bs)]."""
         cfg = self.config
-        impl = spmv_flat if cfg.kernel_format == "crs" else spmv_tiled
+        if cfg.kernel_format == "crs":
+            impl = spmv_flat
+        else:
+            # spmv_pallas dispatches on struct type: lane tiles run the
+            # Pallas kernel (Mosaic iff the mesh devices are TPUs, interpret
+            # elsewhere), stacked DeviceScs falls through to the XLA path
+            from ..ops.pallas_scs import spmv_pallas
+
+            interpret = self.mesh.devices.flat[0].platform != "tpu"
+            impl = partial(spmv_pallas, interpret=interpret)
         precisions = list(self.devs)
         n_loc = self.n_rows_padded
 

@@ -69,14 +69,22 @@ def use_lane_tiles(config: Config) -> bool:
     )
 
 
-def _impl_for(config: Config):
+def _impl_for(config: Config, device=None):
     """Kernel implementation selection (reference SpmvKernel ctor decision
     tree, classes_structs.hpp:435-688, collapsed: XLA/Pallas tiling replaces
-    the templated-C dispatch)."""
+    the templated-C dispatch).
+
+    The Mosaic-vs-interpret decision keys on the operator's actual device,
+    not the process default (the axon TPU plugin force-prepends itself over
+    JAX_PLATFORMS, so a CPU-placed operator can coexist with a visible TPU).
+    """
     if use_lane_tiles(config):
+        import functools
+
         from ..ops.pallas_scs import spmv_pallas
 
-        return spmv_pallas
+        interpret = None if device is None else (device.platform != "tpu")
+        return functools.partial(spmv_pallas, interpret=interpret)
     if config.kernel_format == "crs":
         return spmv_flat
     return spmv_tiled
@@ -211,7 +219,7 @@ class SpmvOperator:
         captures — jit embeds captured arrays as constants, which the axon
         TPU tunnel re-uploads on every execution (measured 500x slowdown).
         """
-        impl = _impl_for(self.config)
+        impl = _impl_for(self.config, self.device)
         layout = self.config.vector_layout
         bs = self.config.block_vec_size
 
