@@ -249,7 +249,20 @@ def pack_lane_tiles(
             [base_chunk, np.asarray(extra["chunk"], dtype=np.int32)]
         )
 
-    reorder = np.argsort(base_chunk, kind="stable")
+    if chunks_per_group is None:
+        chunks_per_group = CHUNKS_PER_GROUP
+
+    # order tiles group-major, then ROUND-ROBIN across the group's chunks
+    # (rank-within-chunk major): consecutive tiles then accumulate into
+    # different output slots, breaking the read-after-write chain on the
+    # dynamic VMEM RMW (measured ~4 ns/tile when chunk-major)
+    order0 = np.argsort(base_chunk, kind="stable")
+    bc = base_chunk[order0].astype(np.int64)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(bc)) + 1))
+    lens_run = np.diff(np.append(starts, bc.size))
+    rank = np.arange(bc.size) - np.repeat(starts, lens_run)
+    key = (bc // chunks_per_group) * (1 << 42) + rank * (1 << 21) + bc
+    reorder = order0[np.argsort(key, kind="stable")]
     vals_out = vals_out[reorder]
     src_tab = ((sub_tab.astype(np.int32) << 7) | lane_tab.astype(np.int32))[
         reorder
@@ -261,8 +274,6 @@ def pack_lane_tiles(
     # with no-op tiles (vals 0, chunk = group's first chunk — a harmless
     # += 0). Steps never straddle groups; empty groups keep one all-zero
     # step so their output block still gets zero-initialized.
-    if chunks_per_group is None:
-        chunks_per_group = CHUNKS_PER_GROUP
     if tiles_per_step is None:
         tiles_per_step = auto_tiles_per_step(vals_out.shape[0])
     n_groups = max((n_chunks + chunks_per_group - 1) // chunks_per_group, 1)
