@@ -396,3 +396,324 @@ USPMV_API void uspmv_scs_fetch(const ScsHandle* s, int32_t* chunk_ptrs,
 }
 
 USPMV_API void uspmv_scs_free(ScsHandle* s) { delete s; }
+
+// ---------------------------------------------------------------------------
+// Lane-tile packer (mirrors uspmv_tpu/ops/packer.py:pack_lane_tiles)
+// ---------------------------------------------------------------------------
+//
+// Packs a C=1024 SCS struct into (8,128) j-plane gather tiles for the Pallas
+// TPU kernel: per-row column sort, monotone plane windows, per-row two-pointer
+// bin assignment, two-step-gather sublane-consistency conflicts, greedy spill
+// tiles, empty-bin drop, round-robin chunk interleave within output groups,
+// and group padding to tiles_per_step. Semantics are bit-identical to the
+// Python packer (the parity oracle in tests/test_native.py).
+
+namespace {
+
+constexpr int64_t kTileJ = 8;
+constexpr int64_t kLanes = 128;
+constexpr int64_t kChunkRows = kTileJ * kLanes;  // 1024
+constexpr int64_t kWindow = kChunkRows;
+constexpr int64_t kChunksPerGroup = 64;
+constexpr int64_t kMaxTps = 128;
+constexpr int64_t kMinSteps = 16;
+
+struct Tile {
+  int32_t chunk = 0;
+  int32_t w = 0;
+  std::vector<float> vals;      // 8*128
+  std::vector<int32_t> lane;    // 8*128 (indexed by slot j)
+  std::vector<int32_t> sub;     // 8*128 (indexed by source lane l)
+  std::vector<uint8_t> sub_set; // 8*128
+  std::vector<uint8_t> occ;     // 8*128 (spill tiles only)
+  bool used = false;
+  Tile() : vals(kChunkRows, 0.f), lane(kChunkRows, 0), sub(kChunkRows, 0),
+           sub_set(kChunkRows, 0), occ(kChunkRows, 0) {}
+};
+
+struct PackHandle {
+  int64_t nt = 0;
+  int64_t tps = 0;
+  int64_t cpg = kChunksPerGroup;
+  int64_t n_spilled = 0;
+  std::vector<float> vals;       // [nt, 8, 128]
+  std::vector<int32_t> src_tab;  // [nt, 8, 128]
+  std::vector<int32_t> w_row;    // [nt]
+  std::vector<int32_t> tile_chunk;  // [nt]
+};
+
+int64_t auto_tps(int64_t n_tiles) {
+  int64_t tps = 8;
+  while (tps < kMaxTps && n_tiles / (tps * 2) >= kMinSteps) tps *= 2;
+  return tps;
+}
+
+}  // namespace
+
+USPMV_API PackHandle* uspmv_pack_lane_tiles(
+    int64_t n_chunks, int64_t n_rows_padded, const int32_t* chunk_ptrs,
+    const int32_t* chunk_lengths, const int32_t* col_idxs,
+    const double* values, const int32_t* row_counts_new, int64_t x_len,
+    int64_t tiles_per_step, int64_t chunks_per_group) {
+  const int64_t cpg = chunks_per_group > 0 ? chunks_per_group : kChunksPerGroup;
+  const int64_t x_rows = std::max((x_len + kLanes - 1) / kLanes, kTileJ);
+  const int64_t max_wrow = std::max(x_rows - kTileJ, (int64_t)0);
+
+  std::vector<Tile> tiles;   // base bins, in plane_start order
+  std::vector<Tile> extras;  // spill tiles, appended after all base bins
+  std::vector<int64_t> plane_start(n_chunks + 1, 0);
+  for (int64_t c = 0; c < n_chunks; ++c)
+    plane_start[c + 1] = plane_start[c] + chunk_lengths[c];
+  tiles.resize(plane_start[n_chunks]);
+  int64_t n_spilled = 0;
+
+  // scratch reused per chunk
+  std::vector<std::pair<int32_t, double>> rowbuf;
+  std::vector<int64_t> W, Wend;
+  struct Spill { int32_t col; double val; int32_t i, j; };
+  std::vector<Spill> spills;
+  std::vector<std::vector<std::pair<int32_t, double>>> rows(kChunkRows);
+
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    const int64_t L = chunk_lengths[c];
+    if (L == 0) continue;
+    const int64_t base = chunk_ptrs[c];
+    // per-row element lists sorted by column (stable)
+    for (int64_t r = 0; r < kChunkRows; ++r) {
+      auto& row = rows[r];
+      row.clear();
+      const int64_t cnt = row_counts_new[c * kChunkRows + r];
+      for (int64_t k = 0; k < cnt; ++k) {
+        const int64_t e = base + k * kChunkRows + r;
+        row.emplace_back(col_idxs[e], values[e]);
+      }
+      std::stable_sort(row.begin(), row.end(),
+                       [](const auto& a, const auto& b) {
+                         return a.first < b.first;
+                       });
+    }
+    // plane windows: min col of each sorted j-plane (non-decreasing)
+    W.assign(L, 0);
+    Wend.assign(L, 0);
+    for (int64_t k = 0; k < L; ++k) {
+      int64_t mc = INT64_MAX;
+      for (int64_t r = 0; r < kChunkRows; ++r)
+        if ((int64_t)rows[r].size() > k)
+          mc = std::min(mc, (int64_t)rows[r][k].first);
+      if (mc == INT64_MAX) mc = 0;
+      const int64_t w = std::min(mc / kLanes, max_wrow);
+      tiles[plane_start[c] + k].chunk = (int32_t)c;
+      tiles[plane_start[c] + k].w = (int32_t)w;
+      W[k] = w * kLanes;
+      Wend[k] = w * kLanes + kWindow;
+    }
+    // per-row two-pointer assignment + immediate conflict check/scatter,
+    // in the Python packer's flat (k, i, j) element order: iterate planes
+    // outer so S_first "first wins" order matches
+    spills.clear();
+    // precompute per-row assignments first (needs per-row sequential ptr)
+    static thread_local std::vector<int32_t> assign;
+    for (int64_t r = 0; r < kChunkRows; ++r) {
+      auto& row = rows[r];
+      int64_t ptr = 0;
+      for (auto& kv : row) {
+        const int64_t col = kv.first;
+        // bmin = first bin with Wend > col; bmax = last bin with W <= col
+        const int64_t bmin =
+            std::upper_bound(Wend.begin(), Wend.end(), col) - Wend.begin();
+        const int64_t bmax =
+            (std::upper_bound(W.begin(), W.end(), col) - W.begin()) - 1;
+        int64_t b = std::max(ptr, bmin);
+        if (b <= bmax && b < L) {
+          // stash assignment in the value's payload via parallel array
+          kv.second = kv.second;  // no-op; assignment kept separately
+          ptr = b + 1;
+          rowbuf.emplace_back((int32_t)b, 0.0);  // placeholder (see below)
+        } else {
+          rowbuf.emplace_back((int32_t)-1, 0.0);
+        }
+      }
+    }
+    // rowbuf holds assignments in (r, k) order; rebuild per (k, i, j):
+    // index of row r's k-th element within rowbuf:
+    {
+      std::vector<int64_t> row_off(kChunkRows + 1, 0);
+      for (int64_t r = 0; r < kChunkRows; ++r)
+        row_off[r + 1] = row_off[r] + (int64_t)rows[r].size();
+      for (int64_t k = 0; k < L; ++k) {
+        for (int64_t i = 0; i < kTileJ; ++i) {
+          for (int64_t j = 0; j < kLanes; ++j) {
+            const int64_t r = i * kLanes + j;
+            if ((int64_t)rows[r].size() <= k) continue;
+            const int32_t b = rowbuf[row_off[r] + k].first;
+            const int64_t col = rows[r][k].first;
+            const double val = rows[r][k].second;
+            if (b < 0) {
+              spills.push_back({(int32_t)col, val, (int32_t)i, (int32_t)j});
+              continue;
+            }
+            Tile& t = tiles[plane_start[c] + b];
+            const int64_t off = col - (int64_t)t.w * kLanes;
+            const int32_t l = (int32_t)(off & (kLanes - 1));
+            const int32_t s = (int32_t)(off >> 7);
+            const int64_t skey = i * kLanes + l;
+            if (t.sub_set[skey] && t.sub[skey] != s) {
+              spills.push_back({(int32_t)col, val, (int32_t)i, (int32_t)j});
+              continue;
+            }
+            t.sub[skey] = s;
+            t.sub_set[skey] = 1;
+            t.vals[i * kLanes + j] = (float)val;
+            t.lane[i * kLanes + j] = l;
+            t.used = true;
+          }
+        }
+      }
+    }
+    rowbuf.clear();
+    // greedy spill packing (cols ascending, stable)
+    n_spilled += (int64_t)spills.size();
+    std::stable_sort(spills.begin(), spills.end(),
+                     [](const Spill& a, const Spill& b) {
+                       return a.col < b.col;
+                     });
+    std::vector<int64_t> open;  // indices into extras, this chunk only
+    for (const Spill& sp : spills) {
+      bool placed = false;
+      for (int64_t ti : open) {
+        Tile& t = extras[ti];
+        const int64_t off = (int64_t)sp.col - (int64_t)t.w * kLanes;
+        const int64_t slot = (int64_t)sp.i * kLanes + sp.j;
+        if (off < 0 || off >= kWindow || t.occ[slot]) continue;
+        const int32_t l = (int32_t)(off & (kLanes - 1));
+        const int32_t s = (int32_t)(off >> 7);
+        const int64_t skey = (int64_t)sp.i * kLanes + l;
+        if (t.sub_set[skey] && t.sub[skey] != s) continue;
+        t.vals[slot] = (float)sp.val;
+        t.lane[slot] = l;
+        t.sub[skey] = s;
+        t.sub_set[skey] = 1;
+        t.occ[slot] = 1;
+        placed = true;
+        break;
+      }
+      if (!placed) {
+        extras.emplace_back();
+        Tile& t = extras.back();
+        t.chunk = (int32_t)c;
+        t.w = (int32_t)std::min((int64_t)sp.col / kLanes, max_wrow);
+        t.used = true;
+        const int64_t off = (int64_t)sp.col - (int64_t)t.w * kLanes;
+        const int32_t l = (int32_t)(off & (kLanes - 1));
+        const int32_t s = (int32_t)(off >> 7);
+        t.vals[(int64_t)sp.i * kLanes + sp.j] = (float)sp.val;
+        t.lane[(int64_t)sp.i * kLanes + sp.j] = l;
+        t.sub[(int64_t)sp.i * kLanes + l] = s;
+        t.sub_set[(int64_t)sp.i * kLanes + l] = 1;
+        t.occ[(int64_t)sp.i * kLanes + sp.j] = 1;
+        open.push_back((int64_t)extras.size() - 1);
+      }
+    }
+  }
+
+  // drop empty base bins, then append extras (python concat order)
+  std::vector<const Tile*> kept;
+  kept.reserve(tiles.size() + extras.size());
+  for (const Tile& t : tiles)
+    if (t.used) kept.push_back(&t);
+  for (const Tile& t : extras) kept.push_back(&t);
+
+  // interleave: stable sort by chunk -> rank within chunk -> key sort by
+  // (group, rank, chunk)
+  const int64_t nk = (int64_t)kept.size();
+  std::vector<int64_t> order0(nk);
+  std::iota(order0.begin(), order0.end(), 0);
+  std::stable_sort(order0.begin(), order0.end(), [&](int64_t a, int64_t b) {
+    return kept[a]->chunk < kept[b]->chunk;
+  });
+  std::vector<int64_t> rank(nk, 0);
+  for (int64_t i = 1; i < nk; ++i)
+    rank[i] = (kept[order0[i]]->chunk == kept[order0[i - 1]]->chunk)
+                  ? rank[i - 1] + 1
+                  : 0;
+  std::vector<int64_t> pos(nk);
+  std::iota(pos.begin(), pos.end(), 0);
+  std::stable_sort(pos.begin(), pos.end(), [&](int64_t a, int64_t b) {
+    const int64_t ga = kept[order0[a]]->chunk / cpg;
+    const int64_t gb = kept[order0[b]]->chunk / cpg;
+    if (ga != gb) return ga < gb;
+    if (rank[a] != rank[b]) return rank[a] < rank[b];
+    return kept[order0[a]]->chunk < kept[order0[b]]->chunk;
+  });
+
+  const int64_t tps = tiles_per_step > 0 ? tiles_per_step : auto_tps(nk);
+  const int64_t n_groups = std::max((n_chunks + cpg - 1) / cpg, (int64_t)1);
+
+  // group padding: emit tiles group-major in interleaved order, each group
+  // padded to a non-zero multiple of tps with zero tiles (chunk = group's
+  // first chunk)
+  auto* h = new PackHandle;
+  h->tps = tps;
+  h->cpg = cpg;
+  h->n_spilled = n_spilled;
+  std::vector<std::vector<int64_t>> per_group(n_groups);
+  for (int64_t i = 0; i < nk; ++i) {
+    const Tile* t = kept[order0[pos[i]]];
+    per_group[t->chunk / cpg].push_back(order0[pos[i]]);
+  }
+  int64_t nt = 0;
+  for (int64_t g = 0; g < n_groups; ++g) {
+    const int64_t cnt = (int64_t)per_group[g].size();
+    nt += std::max((cnt + tps - 1) / tps, (int64_t)1) * tps;
+  }
+  h->nt = nt;
+  h->vals.assign(nt * kChunkRows, 0.f);
+  h->src_tab.assign(nt * kChunkRows, 0);
+  h->w_row.assign(nt, 0);
+  h->tile_chunk.assign(nt, 0);
+  int64_t out = 0;
+  for (int64_t g = 0; g < n_groups; ++g) {
+    const int64_t cnt = (int64_t)per_group[g].size();
+    const int64_t padded = std::max((cnt + tps - 1) / tps, (int64_t)1) * tps;
+    for (int64_t i = 0; i < padded; ++i, ++out) {
+      if (i < cnt) {
+        const Tile* t = kept[per_group[g][i]];
+        std::copy(t->vals.begin(), t->vals.end(),
+                  h->vals.begin() + out * kChunkRows);
+        for (int64_t e = 0; e < kChunkRows; ++e) {
+          // pack (sub << 7) | lane: sub addressed by (i, source lane),
+          // lane addressed by slot — both live on the same 8x128 grid
+          const int64_t ii = e / kLanes;
+          const int64_t jj = e % kLanes;
+          h->src_tab[out * kChunkRows + e] =
+              (t->sub[ii * kLanes + jj] << 7) | t->lane[ii * kLanes + jj];
+        }
+        h->w_row[out] = t->w;
+        h->tile_chunk[out] = t->chunk;
+      } else {
+        h->tile_chunk[out] = (int32_t)(g * cpg);
+      }
+    }
+  }
+  return h;
+}
+
+USPMV_API void uspmv_pack_sizes(const PackHandle* h, int64_t* nt,
+                                int64_t* tps, int64_t* cpg,
+                                int64_t* n_spilled) {
+  *nt = h->nt;
+  *tps = h->tps;
+  *cpg = h->cpg;
+  *n_spilled = h->n_spilled;
+}
+
+USPMV_API void uspmv_pack_fetch(const PackHandle* h, float* vals,
+                                int32_t* src_tab, int32_t* w_row,
+                                int32_t* tile_chunk) {
+  memcpy(vals, h->vals.data(), h->vals.size() * 4);
+  memcpy(src_tab, h->src_tab.data(), h->src_tab.size() * 4);
+  memcpy(w_row, h->w_row.data(), h->w_row.size() * 4);
+  memcpy(tile_chunk, h->tile_chunk.data(), h->tile_chunk.size() * 4);
+}
+
+USPMV_API void uspmv_pack_free(PackHandle* h) { delete h; }

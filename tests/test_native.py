@@ -149,3 +149,69 @@ def test_roundtrip_write_native_read(tmp_path):
     np.testing.assert_array_equal(nat.I, py.I)
     np.testing.assert_array_equal(nat.J, py.J)
     np.testing.assert_array_equal(nat.values, py.values)
+
+
+# ----------------------------------------------------------- lane-tile pack
+
+
+def _assert_tiles_equal(a, b):
+    assert a.n_tiles == b.n_tiles
+    assert a.tiles_per_step == b.tiles_per_step
+    assert a.chunks_per_group == b.chunks_per_group
+    assert a.n_spilled == b.n_spilled
+    np.testing.assert_array_equal(a.tile_chunk, b.tile_chunk)
+    np.testing.assert_array_equal(a.w_row, b.w_row)
+    np.testing.assert_array_equal(a.src_tab, b.src_tab)
+    np.testing.assert_array_equal(a.vals, b.vals)
+
+
+@pytest.mark.parametrize("gen", ["laplace", "banded", "imbalanced"])
+def test_pack_lane_tiles_parity(gen):
+    from uspmv_tpu.formats.scs import permute_scs_cols
+    from uspmv_tpu.io.generators import laplace3d, random_banded, random_imbalanced
+    from uspmv_tpu.ops.packer import CHUNK_ROWS, pack_lane_tiles
+
+    mtx = {
+        "laplace": lambda: laplace3d(12),
+        "banded": lambda: random_banded(2300, 70, 9, seed=31),
+        "imbalanced": lambda: random_imbalanced(1700, 7, seed=32),
+    }[gen]()
+    scs = convert_to_scs(mtx.astype(np.float32), CHUNK_ROWS, 1)
+    fp = np.arange(scs.n_rows_padded, dtype=np.int32)
+    fp[: scs.n_rows] = scs.old_to_new_idx
+    permute_scs_cols(scs, fp)
+    py = pack_lane_tiles(scs, native=False)
+    nat = pack_lane_tiles(scs, native=True)
+    _assert_tiles_equal(py, nat)
+
+
+def test_pack_lane_tiles_parity_halo_xlen():
+    """Distributed builds pack with a halo-extended x_len."""
+    from uspmv_tpu.io.generators import laplace2d
+    from uspmv_tpu.ops.packer import CHUNK_ROWS, pack_lane_tiles
+
+    mtx = laplace2d(40)
+    scs = convert_to_scs(mtx.astype(np.float32), CHUNK_ROWS, 1)
+    x_len = scs.n_rows_padded + 333
+    py = pack_lane_tiles(scs, x_len=x_len, native=False)
+    nat = pack_lane_tiles(scs, x_len=x_len, native=True)
+    _assert_tiles_equal(py, nat)
+
+
+def test_pack_lane_tiles_native_speed():
+    """The native packer must beat Python by a wide margin on a real-sized
+    matrix (host preprocessing is production-path)."""
+    import time
+
+    from uspmv_tpu.io.generators import laplace3d
+    from uspmv_tpu.ops.packer import CHUNK_ROWS, pack_lane_tiles
+
+    mtx = laplace3d(32)
+    scs = convert_to_scs(mtx.astype(np.float32), CHUNK_ROWS, 1)
+    t0 = time.perf_counter()
+    pack_lane_tiles(scs, native=True)
+    t_nat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pack_lane_tiles(scs, native=False)
+    t_py = time.perf_counter() - t0
+    assert t_nat < t_py

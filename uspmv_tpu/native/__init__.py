@@ -66,6 +66,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_void_p, _i32p, _i32p, _i32p, _f64p, _i32p, _i32p, _i32p,
     ]
     lib.uspmv_scs_free.argtypes = [ctypes.c_void_p]
+    _f32p = ctypes.POINTER(ctypes.c_float)
+    lib.uspmv_pack_lane_tiles.restype = ctypes.c_void_p
+    lib.uspmv_pack_lane_tiles.argtypes = [
+        _i64, _i64, _i32p, _i32p, _i32p, _f64p, _i32p, _i64, _i64, _i64,
+    ]
+    lib.uspmv_pack_sizes.argtypes = [ctypes.c_void_p, _i64p, _i64p, _i64p, _i64p]
+    lib.uspmv_pack_fetch.argtypes = [ctypes.c_void_p, _f32p, _i32p, _i32p, _i32p]
+    lib.uspmv_pack_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -214,4 +222,70 @@ def convert_to_scs_native(mtx, C: int, sigma: int, dtype=None,
         new_to_old_idx=new_to_old,
         n_cols=mtx.n_cols,
         row_counts_new=row_counts,
+    )
+
+
+def pack_lane_tiles_native(scs, dtype, tiles_per_step=None,
+                           chunks_per_group=None, x_len=None):
+    """Native lane-tile packing -> ops.packer.LaneTiles, or None if the lib
+    is unavailable or the value dtype needs more than f32 precision (f64
+    packing falls back to Python)."""
+    lib = load()
+    if lib is None:
+        return None
+    dtype = np.dtype(dtype)
+    if dtype.itemsize > 4:
+        return None  # float64 tiles: python path keeps full precision
+    from ..ops.packer import CHUNK_ROWS, LANES, TILE_J, LaneTiles
+
+    if scs.C != CHUNK_ROWS:
+        raise ValueError(
+            f"lane-tile packing requires C={CHUNK_ROWS}, got C={scs.C}"
+        )
+    if scs.row_counts_new is None:
+        return None
+    if x_len is None:
+        x_len = scs.n_rows_padded
+    cp = np.ascontiguousarray(scs.chunk_ptrs, dtype=np.int32)
+    cl = np.ascontiguousarray(scs.chunk_lengths, dtype=np.int32)
+    ci = np.ascontiguousarray(scs.col_idxs, dtype=np.int32)
+    vals = np.ascontiguousarray(scs.values, dtype=np.float64)
+    rc = np.ascontiguousarray(scs.row_counts_new, dtype=np.int32)
+    h = lib.uspmv_pack_lane_tiles(
+        scs.n_chunks, scs.n_rows_padded, _ptr_i32(cp), _ptr_i32(cl),
+        _ptr_i32(ci), vals.ctypes.data_as(_f64p), _ptr_i32(rc),
+        int(x_len), int(tiles_per_step or 0), int(chunks_per_group or 0),
+    )
+    if not h:
+        _raise_last(lib)
+    try:
+        nt = _i64(0)
+        tps = _i64(0)
+        cpg = _i64(0)
+        nsp = _i64(0)
+        lib.uspmv_pack_sizes(
+            h, ctypes.byref(nt), ctypes.byref(tps), ctypes.byref(cpg),
+            ctypes.byref(nsp),
+        )
+        tvals = np.empty((nt.value, TILE_J, LANES), dtype=np.float32)
+        src = np.empty((nt.value, TILE_J, LANES), dtype=np.int32)
+        w_row = np.empty(nt.value, dtype=np.int32)
+        tchunk = np.empty(nt.value, dtype=np.int32)
+        lib.uspmv_pack_fetch(
+            h, tvals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            _ptr_i32(src), _ptr_i32(w_row), _ptr_i32(tchunk),
+        )
+    finally:
+        lib.uspmv_pack_free(h)
+    return LaneTiles(
+        vals=tvals.astype(dtype) if dtype != np.float32 else tvals,
+        src_tab=src,
+        w_row=w_row,
+        tile_chunk=tchunk,
+        n_chunks=scs.n_chunks,
+        n_rows_padded=scs.n_rows_padded,
+        nnz=scs.nnz,
+        n_spilled=int(nsp.value),
+        tiles_per_step=int(tps.value),
+        chunks_per_group=int(cpg.value),
     )

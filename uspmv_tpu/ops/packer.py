@@ -98,14 +98,30 @@ def pack_lane_tiles(
     tiles_per_step: int | None = None,
     chunks_per_group: int | None = None,
     x_len: int | None = None,
+    native: bool | None = None,
 ) -> LaneTiles:
     """``x_len``: length of the x buffer the kernel will gather from
     (defaults to n_rows_padded; the distributed path passes the halo-extended
-    buffer length so windows may reach into the halo region)."""
+    buffer length so windows may reach into the halo region).
+
+    ``native``: None = use the C++ packer when available (bit-identical for
+    f32; 2-byte dtypes go f64->f32->target, a double rounding the Python
+    path doesn't do), True = require it, False = pure Python."""
     if scs.C != CHUNK_ROWS:
         raise ValueError(
             f"lane-tile packing requires C={CHUNK_ROWS}, got C={scs.C}"
         )
+    if native is not False:
+        from ..native import pack_lane_tiles_native
+
+        out = pack_lane_tiles_native(
+            scs, dtype, tiles_per_step=tiles_per_step,
+            chunks_per_group=chunks_per_group, x_len=x_len,
+        )
+        if out is not None:
+            return out
+        if native is True:
+            raise RuntimeError("native host library unavailable")
     n_chunks = scs.n_chunks
     if x_len is None:
         x_len = scs.n_rows_padded
