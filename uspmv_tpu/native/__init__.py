@@ -246,6 +246,10 @@ def pack_lane_tiles_native(scs, dtype, tiles_per_step=None,
         return None
     if x_len is None:
         x_len = scs.n_rows_padded
+    if chunks_per_group is None:
+        from ..ops.packer import resolve_chunks_per_group
+
+        chunks_per_group = resolve_chunks_per_group(scs.n_chunks)
     cp = np.ascontiguousarray(scs.chunk_ptrs, dtype=np.int32)
     cl = np.ascontiguousarray(scs.chunk_lengths, dtype=np.int32)
     ci = np.ascontiguousarray(scs.col_idxs, dtype=np.int32)

@@ -54,7 +54,7 @@ def pallas_supported() -> bool:
         return False
 
 
-CL_BITS = 6  # chunk-local index bits in the packed meta word (G <= 64)
+CL_BITS = 8  # chunk-local index bits in the packed meta word (G <= 256)
 
 
 @jax.tree_util.register_dataclass

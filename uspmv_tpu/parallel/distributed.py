@@ -252,22 +252,28 @@ class DistributedSpmvOperator:
 
         lane = use_lane_tiles(config)
         if lane:
-            from ..ops.packer import auto_tiles_per_step
+            from ..ops.packer import (
+                auto_tiles_per_step,
+                resolve_chunks_per_group,
+            )
             from ..ops.pallas_scs import (
                 build_device_lane_tiles,
                 stack_device_lane_tiles,
             )
 
-            # common step width across shards (the stacked kernel is one
-            # program); estimated from the average shard's tile count
+            # common step width + group size across shards (the stacked
+            # kernel is one program); estimated from the average shard
             est_tiles = max(mtx.nnz // R // (config.chunk_size or 1), 1)
             tps = auto_tiles_per_step(est_tiles)
+            cpg = resolve_chunks_per_group(
+                n_loc // config.chunk_size, config.block_vec_size
+            )
 
             def build_stack(structs, p, x_len):
                 return stack_device_lane_tiles([
                     build_device_lane_tiles(
                         s, dtype=dtype_for(p), tiles_per_step=tps,
-                        x_len=x_len,
+                        chunks_per_group=cpg, x_len=x_len,
                     )
                     for s in structs
                 ])

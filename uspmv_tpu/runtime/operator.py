@@ -168,14 +168,20 @@ class SpmvOperator:
 
         device = resolve_device(config)
         if use_lane_tiles(config):
+            from ..ops.packer import resolve_chunks_per_group
             from ..ops.pallas_scs import build_device_lane_tiles
 
+            cpg = resolve_chunks_per_group(
+                primary.n_rows_padded // config.chunk_size,
+                config.block_vec_size,
+            )
             devs = {
                 # values stream in the precision's own dtype (hp = bfloat16,
                 # the TPU analogue of the reference's _Float16); the kernel
                 # accumulates in f32 like the reference's AP kernels
                 p: build_device_lane_tiles(
-                    s, dtype=dtype_for(p), device=device
+                    s, dtype=dtype_for(p), device=device,
+                    chunks_per_group=cpg,
                 )
                 for p, s in scs.items()
             }
