@@ -48,7 +48,7 @@ def main() -> int:
     from uspmv_tpu.runtime.bench import bench_spmv
     from uspmv_tpu.runtime.operator import SpmvOperator
 
-    mtx = laplace3d(64)  # 262k rows, ~1.8M nnz
+    mtx = laplace3d(128)  # 2.1M rows, 14.6M nnz — SuiteSparse-class scale
     # C=1024 is the TPU-native chunk height (8 sublanes x 128 lanes, the
     # lane-tile Pallas kernel); sigma=1 preserves the stencil's diagonal
     # slope so gather windows stay tight (SURVEY.md §7 C/sigma mapping)
@@ -73,7 +73,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "scs_spmv_gflops (C=1024 lane tiles, sp, "
-                f"Laplace3D-64^3, {device.device_kind})",
+                f"Laplace3D-128^3, {device.device_kind})",
                 "value": round(res.perf_gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(res.perf_gflops / baseline_gflops, 4),

@@ -56,6 +56,19 @@ def pallas_supported() -> bool:
 
 CL_BITS = 8  # chunk-local index bits in the packed meta word (G <= 256)
 
+# the kernel keeps ALL RHS vectors of x resident in VMEM (~16 MB/core);
+# leave room for the output block, double-buffered tile streams and
+# compiler slack. Beyond this, builders fall back to the XLA path
+# (a windowed-x kernel is the future fix for huge single-chip matrices —
+# multi-chip sharding already divides x).
+X_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def lane_tiles_fit(x_len: int, block_vec_size: int = 1,
+                   itemsize: int = 4) -> bool:
+    """Whether the whole (padded) x block fits the kernel's VMEM budget."""
+    return x_len * max(block_vec_size, 1) * itemsize <= X_VMEM_BUDGET_BYTES
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass

@@ -248,9 +248,16 @@ class DistributedSpmvOperator:
                 )
 
         overlap = config.overlap_comm and config.comm_mode != "allgather"
+        from ..ops.pallas_scs import lane_tiles_fit
         from ..runtime.operator import use_lane_tiles
 
-        lane = use_lane_tiles(config)
+        max_x = max(
+            (plans[p].H + 1) if plans[p] is not None else R * n_loc
+            for p in precisions
+        )
+        lane = use_lane_tiles(config) and lane_tiles_fit(
+            max_x, config.block_vec_size
+        )
         if lane:
             from ..ops.packer import (
                 auto_tiles_per_step,

@@ -167,7 +167,11 @@ class SpmvOperator:
             permute_scs_cols(s, full_perm)
 
         device = resolve_device(config)
-        if use_lane_tiles(config):
+        from ..ops.pallas_scs import lane_tiles_fit
+
+        if use_lane_tiles(config) and lane_tiles_fit(
+            primary.n_rows_padded, config.block_vec_size
+        ):
             from ..ops.packer import resolve_chunks_per_group
             from ..ops.pallas_scs import build_device_lane_tiles
 
