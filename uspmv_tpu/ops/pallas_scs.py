@@ -62,11 +62,18 @@ CL_BITS = 8  # chunk-local index bits in the packed meta word (G <= 256)
 # (a windowed-x kernel is the future fix for huge single-chip matrices —
 # multi-chip sharding already divides x).
 X_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# the per-tile meta word is a scalar-prefetch SMEM operand (~1 MB SMEM);
+# tile counts beyond this bound (t.ex. power-law rows at sigma=1, whose SCS
+# fill explodes — the pathology sigma-sorting exists to fix) fall back
+MAX_META_TILES = 128 * 1024
 
 
 def lane_tiles_fit(x_len: int, block_vec_size: int = 1,
-                   itemsize: int = 4) -> bool:
-    """Whether the whole (padded) x block fits the kernel's VMEM budget."""
+                   itemsize: int = 4, n_elements: int = 0) -> bool:
+    """Whether the whole (padded) x block fits the kernel's VMEM budget and
+    the tile metadata fits SMEM."""
+    if n_elements // CHUNK_ROWS > MAX_META_TILES:
+        return False
     return x_len * max(block_vec_size, 1) * itemsize <= X_VMEM_BUDGET_BYTES
 
 
@@ -80,9 +87,13 @@ class DeviceLaneTiles:
     src16: jax.Array  # [nt/2, 16, 128] int16: packed (sub<<7)|lane gather
     #                   tables, two (8, 128) tiles per native i16 tile —
     #                   2 bytes/element of index stream
-    meta: jax.Array  # [nt] int32 packed (w_row << CL_BITS) | chunk_local
+    meta: jax.Array  # [nt] int32 packed (w_row << CL_BITS) | chunk_local;
+    #                   w_row is relative to the group's x-window base in
+    #                   windowed mode
     step_group: jax.Array  # [ns] int32: output group of each grid step
     step_first: jax.Array  # [ns] int32: 1 = first step of its group
+    group_xbase: jax.Array  # [n_groups] int32: x-window base row per group
+    #                         (all zeros in whole-x mode)
 
     tiles_per_step: int = dataclasses.field(metadata=dict(static=True))
     chunks_per_group: int = dataclasses.field(metadata=dict(static=True))
@@ -91,6 +102,14 @@ class DeviceLaneTiles:
     n_rows_padded: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     fill: float = dataclasses.field(metadata=dict(static=True))
+    # 0 = whole-x-in-VMEM mode; else the static x-window height (x2d rows)
+    # double-buffered HBM->VMEM per group (matrices beyond the VMEM budget)
+    x_block_rows: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    x_rows_total: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def n_tiles(self) -> int:
@@ -112,6 +131,8 @@ def build_device_lane_tiles(
     tiles_per_step=None,
     chunks_per_group=None,
     x_len=None,
+    x_window=None,  # None=auto, False=whole-x, True=force windowed
+    block_vec_size=1,
 ) -> DeviceLaneTiles:
     lt = pack_lane_tiles(
         scs,
@@ -126,7 +147,50 @@ def build_device_lane_tiles(
         raise ValueError(f"chunks_per_group > {1 << CL_BITS} breaks meta packing")
     tile_group = lt.tile_chunk // G
     tile_cl = (lt.tile_chunk - tile_group * G).astype(np.int32)
-    meta = (lt.w_row.astype(np.int32) << CL_BITS) | tile_cl
+
+    # --- x windowing decision (whole-x VMEM residence vs per-group HBM
+    # windows double-buffered into VMEM scratch) ---
+    if x_len is None:
+        x_len = lt.n_rows_padded
+    x_rows = max((int(x_len) + LANES - 1) // LANES, TILE_J)
+    if x_window is None:
+        x_window = not lane_tiles_fit(x_rows * LANES, block_vec_size)
+    w_abs = lt.w_row.astype(np.int64)
+    gxb = np.zeros(lt.n_groups, dtype=np.int32)
+    x_block_rows = 0
+    if x_window:
+        # per-group footprint over REAL tiles (zero-padding tiles carry the
+        # w of a real neighbor or 0; a 0 would widen the footprint, so
+        # compute min over tiles with any nonzero value... padding tiles
+        # have all-zero vals)
+        real = (
+            np.asarray(lt.vals).reshape(lt.n_tiles, -1).astype(np.float64)
+            != 0.0
+        ).any(axis=1)
+        base = np.zeros(lt.n_groups, dtype=np.int64)
+        top = np.full(lt.n_groups, TILE_J, dtype=np.int64)
+        for g in range(lt.n_groups):
+            sel = real & (tile_group == g)
+            if sel.any():
+                base[g] = w_abs[sel].min() & ~7  # sublane-align the base
+                top[g] = w_abs[sel].max() + TILE_J
+        foot = int(np.max(top - base)) if lt.n_groups else TILE_J
+        x_block_rows = min(((foot + 7) // 8) * 8, ((x_rows + 7) // 8) * 8)
+        base = np.minimum(base, max(x_rows - x_block_rows, 0)) & ~7
+        if (
+            x_block_rows * LANES * 4 * max(block_vec_size, 1) * 2
+            > X_VMEM_BUDGET_BYTES
+        ):
+            raise ValueError(
+                "x window footprint exceeds the VMEM budget "
+                f"({x_block_rows} rows x bs={block_vec_size})"
+            )
+        gxb = base.astype(np.int32)
+        w_abs = w_abs - base[tile_group]
+        # zero-padding tiles may go negative relative to the base; clamp
+        # (they multiply by 0)
+        w_abs = np.maximum(w_abs, 0)
+    meta = (w_abs.astype(np.int32) << CL_BITS) | tile_cl
     # the 10-bit gather tables ride an int16 stream, two j-plane tiles per
     # native (16, 128) i16 tile; 2-byte value dtypes (hp = bfloat16) pair
     # the same way so the value stream is 2 bytes/element too
@@ -148,6 +212,7 @@ def build_device_lane_tiles(
         meta=put(meta),
         step_group=put(step_group),
         step_first=put(first),
+        group_xbase=put(gxb),
         tiles_per_step=tps,
         chunks_per_group=G,
         n_groups=lt.n_groups,
@@ -155,6 +220,8 @@ def build_device_lane_tiles(
         n_rows_padded=lt.n_rows_padded,
         nnz=lt.nnz,
         fill=lt.fill,
+        x_block_rows=int(x_block_rows),
+        x_rows_total=int(x_rows),
     )
 
 
@@ -203,12 +270,16 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
             f.append(0)
         sg.append(np.asarray(g, dtype=np.int32))
         sf.append(np.asarray(f, dtype=np.int32))
+    if any(d.x_block_rows for d in devs):
+        raise ValueError("windowed-x lane tiles cannot be stacked (sharding "
+                         "already divides x; build shards with x_window=False)")
     return DeviceLaneTiles(
         vals=jnp.asarray(np.stack(vals)),
         src16=jnp.asarray(np.stack(src)),
         meta=jnp.asarray(np.stack(meta)),
         step_group=jnp.asarray(np.stack(sg)),
         step_first=jnp.asarray(np.stack(sf)),
+        group_xbase=jnp.zeros((len(devs), NG), dtype=jnp.int32),
         tiles_per_step=tps,
         chunks_per_group=G,
         n_groups=NG,
@@ -267,6 +338,97 @@ def _kernel(
             out_ref[b, cl] = out_ref[b, cl] + v * g.astype(acc_dtype)
 
 
+def _kernel_windowed(
+    # scalar-prefetch refs (SMEM)
+    meta_ref,  # [nt] int32 packed (w_rel << CL_BITS) | chunk_local
+    sg_ref,  # [ns] int32 group of each step
+    sf_ref,  # [ns] int32: 1 = first step of group
+    gxb_ref,  # [n_groups] int32: x-window base row per group
+    # blocked inputs
+    vals_ref,
+    src_ref,
+    x_ref,  # (bs, x_rows, 128) in ANY (HBM); windows DMA'd per group
+    out_ref,  # (bs, G, 8, 128)
+    # scratch
+    xwin_ref,  # (2, bs, XB, 128) VMEM double buffer
+    sems,  # DMA semaphores (2,)
+    *,
+    acc_dtype,
+    tps,
+    bs,
+    XB,
+    n_groups,
+):
+    step = pl.program_id(0)
+    g = sg_ref[step]
+    I32_0 = np.int32(0)
+    I32_1 = np.int32(1)
+
+    def copy(slot, grp):
+        # NOTE: slot/grp must be int32 — python literals trace as i64 under
+        # jax_enable_x64, which Mosaic's memref_slice verifier rejects
+        return pltpu.make_async_copy(
+            x_ref.at[:, pl.ds(gxb_ref[grp], XB), :],
+            xwin_ref.at[slot],
+            sems.at[slot],
+        )
+
+    # one DMA per group: group g's window was started at group g-1's first
+    # step (or the prologue); wait for it, then prefetch group g+1 into the
+    # other buffer slot. Buffer slots alternate with group parity.
+    @pl.when(sf_ref[step] == 1)
+    def _():
+        par = jnp.bitwise_and(g, I32_1)
+
+        @pl.when(g == 0)
+        def _():
+            copy(I32_0, I32_0).start()
+
+        @pl.when(par == 0)
+        def _():
+            copy(I32_0, g).wait()
+
+        @pl.when(par == 1)
+        def _():
+            copy(I32_1, g).wait()
+
+        @pl.when(g + I32_1 < n_groups)
+        def _():
+            nxt = jnp.bitwise_and(g + I32_1, I32_1)
+
+            @pl.when(nxt == 0)
+            def _():
+                copy(I32_0, g + I32_1).start()
+
+            @pl.when(nxt == 1)
+            def _():
+                copy(I32_1, g + I32_1).start()
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    slot = jnp.bitwise_and(g, I32_1)
+    base = step * tps
+    vals_paired = vals_ref.shape[1] == 2 * TILE_J
+    for k in range(tps):
+        m = meta_ref[base + k]
+        w = m >> CL_BITS
+        cl = jnp.bitwise_and(m, (1 << CL_BITS) - 1)
+        half = (k % 2) * TILE_J
+        packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
+        lane_tab = jnp.bitwise_and(packed, LANES - 1)
+        sub_tab = jnp.right_shift(packed, 7)
+        if vals_paired:
+            v = vals_ref[k // 2, pl.ds(half, TILE_J), :].astype(acc_dtype)
+        else:
+            v = vals_ref[k].astype(acc_dtype)
+        for b in range(bs):
+            window = xwin_ref[slot, np.int32(b), pl.ds(w, TILE_J), :]
+            t1 = gather_sublanes(window, sub_tab)
+            gth = gather_lanes(t1, lane_tab)
+            bi = np.int32(b)
+            out_ref[bi, cl] = out_ref[bi, cl] + v * gth.astype(acc_dtype)
+
+
 def spmv_lane_tiles(
     dev: DeviceLaneTiles, x: jax.Array, interpret: Optional[bool] = None
 ) -> jax.Array:
@@ -277,8 +439,10 @@ def spmv_lane_tiles(
         interpret = not pallas_supported()
     n_pad = dev.n_rows_padded
     # x may be longer than the matrix's rows (halo-extended buffer in the
-    # distributed path); windows were clamped to its length at pack time
-    x_rows = max((x.shape[0] + LANES - 1) // LANES, TILE_J)
+    # distributed path); windows were clamped to its length at pack time.
+    # Windowed mode pads x up to the build-time extent so every group's
+    # [base, base+XB) DMA stays in range.
+    x_rows = max((x.shape[0] + LANES - 1) // LANES, TILE_J, dev.x_rows_total)
     block = x.ndim == 2
     bs = x.shape[1] if block else 1
     x3d = x if block else x[:, None]
@@ -301,41 +465,70 @@ def spmv_lane_tiles(
     G = dev.chunks_per_group
     assert nt % tps == 0
     ns = nt // tps
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(ns,),
-        in_specs=[
-            pl.BlockSpec(
-                (tps // 2, 2 * TILE_J, LANES)
-                if dev.vals.shape[1] == 2 * TILE_J
-                else (tps, TILE_J, LANES),
-                lambda s, m, g, f: (s, Z, Z),
-                memory_space=pltpu.VMEM,
-            ),  # vals (paired tiles for 2-byte dtypes)
-            pl.BlockSpec(
-                (tps // 2, 2 * TILE_J, LANES),
-                lambda s, m, g, f: (s, Z, Z),
-                memory_space=pltpu.VMEM,
-            ),  # src16
-            pl.BlockSpec(
-                x3d.shape, lambda s, m, g, f: (Z, Z, Z),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
+    windowed = dev.x_block_rows > 0
+    npf = 4 if windowed else 3
+    vals_spec = pl.BlockSpec(
+        (tps // 2, 2 * TILE_J, LANES)
+        if dev.vals.shape[1] == 2 * TILE_J
+        else (tps, TILE_J, LANES),
+        (lambda s, m, g, f, xb: (s, Z, Z)) if windowed
+        else (lambda s, m, g, f: (s, Z, Z)),
+        memory_space=pltpu.VMEM,
+    )
+    src_spec = pl.BlockSpec(
+        (tps // 2, 2 * TILE_J, LANES),
+        (lambda s, m, g, f, xb: (s, Z, Z)) if windowed
+        else (lambda s, m, g, f: (s, Z, Z)),
+        memory_space=pltpu.VMEM,
+    )
+    if windowed:
+        XB = dev.x_block_rows
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        out_spec = pl.BlockSpec(
+            (bs, G, TILE_J, LANES),
+            lambda s, m, g, f, xb: (Z, g[s], Z, Z),
+            memory_space=pltpu.VMEM,
+        )
+        kernel = functools.partial(
+            _kernel_windowed, acc_dtype=acc_dtype, tps=tps, bs=bs,
+            XB=XB, n_groups=dev.n_groups,
+        )
+        scratch = [
+            pltpu.VMEM((2, bs, XB, LANES), x3d.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        extra = (dev.group_xbase,)
+    else:
+        x_spec = pl.BlockSpec(
+            x3d.shape, lambda s, m, g, f: (Z, Z, Z),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = pl.BlockSpec(
             (bs, G, TILE_J, LANES),
             lambda s, m, g, f: (Z, g[s], Z, Z),
             memory_space=pltpu.VMEM,
-        ),
+        )
+        kernel = functools.partial(
+            _kernel, acc_dtype=acc_dtype, tps=tps, bs=bs
+        )
+        scratch = []
+        extra = ()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=npf,
+        grid=(ns,),
+        in_specs=[vals_spec, src_spec, x_spec],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
     )
     y = pl.pallas_call(
-        functools.partial(_kernel, acc_dtype=acc_dtype, tps=tps, bs=bs),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (bs, dev.n_groups * G, TILE_J, LANES), acc_dtype
         ),
         interpret=interpret,
-    )(dev.meta, dev.step_group, dev.step_first, dev.vals, dev.src16, x3d)
+    )(dev.meta, dev.step_group, dev.step_first, *extra,
+      dev.vals, dev.src16, x3d)
     y = y.reshape(bs, -1)[:, :n_pad].T.astype(x.dtype)
     return y if block else y[:, 0]
 

@@ -256,7 +256,10 @@ class DistributedSpmvOperator:
             for p in precisions
         )
         lane = use_lane_tiles(config) and lane_tiles_fit(
-            max_x, config.block_vec_size
+            max_x, config.block_vec_size,
+            n_elements=max(
+                s.n_elements for lst in scs.values() for s in lst
+            ),
         )
         if lane:
             from ..ops.packer import (
@@ -281,6 +284,7 @@ class DistributedSpmvOperator:
                     build_device_lane_tiles(
                         s, dtype=dtype_for(p), tiles_per_step=tps,
                         chunks_per_group=cpg, x_len=x_len,
+                        x_window=False,  # sharding already divides x
                     )
                     for s in structs
                 ])

@@ -167,10 +167,12 @@ class SpmvOperator:
             permute_scs_cols(s, full_perm)
 
         device = resolve_device(config)
-        from ..ops.pallas_scs import lane_tiles_fit
+        from ..ops.pallas_scs import MAX_META_TILES
 
-        if use_lane_tiles(config) and lane_tiles_fit(
-            primary.n_rows_padded, config.block_vec_size
+        devs = None
+        if use_lane_tiles(config) and (
+            max(s.n_elements for s in scs.values()) // config.chunk_size
+            <= MAX_META_TILES
         ):
             from ..ops.packer import resolve_chunks_per_group
             from ..ops.pallas_scs import build_device_lane_tiles
@@ -179,17 +181,23 @@ class SpmvOperator:
                 primary.n_rows_padded // config.chunk_size,
                 config.block_vec_size,
             )
-            devs = {
-                # values stream in the precision's own dtype (hp = bfloat16,
-                # the TPU analogue of the reference's _Float16); the kernel
-                # accumulates in f32 like the reference's AP kernels
-                p: build_device_lane_tiles(
-                    s, dtype=dtype_for(p), device=device,
-                    chunks_per_group=cpg,
-                )
-                for p, s in scs.items()
-            }
-        else:
+            try:
+                devs = {
+                    # values stream in the precision's own dtype (hp =
+                    # bfloat16, the _Float16 analogue); the kernel
+                    # accumulates in f32 like the reference's AP kernels.
+                    # x beyond the VMEM budget switches to per-group
+                    # HBM->VMEM windows automatically (x_window auto)
+                    p: build_device_lane_tiles(
+                        s, dtype=dtype_for(p), device=device,
+                        chunks_per_group=cpg,
+                        block_vec_size=config.block_vec_size,
+                    )
+                    for p, s in scs.items()
+                }
+            except ValueError:
+                devs = None  # window footprint too wide: XLA fallback
+        if devs is None:
             devs = {
                 p: build_device_scs(
                     s, tile_elems=config.tile_elems, device=device
