@@ -455,6 +455,7 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
     const int32_t* chunk_lengths, const int32_t* col_idxs,
     const double* values, const int32_t* row_counts_new, int64_t x_len,
     int64_t tiles_per_step, int64_t chunks_per_group) {
+  (void)n_rows_padded;  // row space is implied by n_chunks * 1024
   const int64_t cpg = chunks_per_group > 0 ? chunks_per_group : kChunksPerGroup;
   const int64_t x_rows = std::max((x_len + kLanes - 1) / kLanes, kTileJ);
   const int64_t max_wrow = std::max(x_rows - kTileJ, (int64_t)0);
@@ -468,7 +469,7 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
   int64_t n_spilled = 0;
 
   // scratch reused per chunk
-  std::vector<std::pair<int32_t, double>> rowbuf;
+  std::vector<int32_t> assign_buf;  // per-chunk assignments, (r, k) order
   std::vector<int64_t> W, Wend;
   struct Spill { int32_t col; double val; int32_t i, j; };
   std::vector<Spill> spills;
@@ -507,35 +508,30 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
       W[k] = w * kLanes;
       Wend[k] = w * kLanes + kWindow;
     }
-    // per-row two-pointer assignment + immediate conflict check/scatter,
-    // in the Python packer's flat (k, i, j) element order: iterate planes
-    // outer so S_first "first wins" order matches
+    // per-row two-pointer assignment (needs per-row sequential ptr),
+    // stored in (r, k) order; the conflict check/scatter below then runs
+    // in the Python packer's flat (k, i, j) element order so the S_first
+    // "first wins" tie-break matches exactly
     spills.clear();
-    // precompute per-row assignments first (needs per-row sequential ptr)
-    static thread_local std::vector<int32_t> assign;
+    assign_buf.clear();
     for (int64_t r = 0; r < kChunkRows; ++r) {
-      auto& row = rows[r];
       int64_t ptr = 0;
-      for (auto& kv : row) {
+      for (const auto& kv : rows[r]) {
         const int64_t col = kv.first;
         // bmin = first bin with Wend > col; bmax = last bin with W <= col
         const int64_t bmin =
             std::upper_bound(Wend.begin(), Wend.end(), col) - Wend.begin();
         const int64_t bmax =
             (std::upper_bound(W.begin(), W.end(), col) - W.begin()) - 1;
-        int64_t b = std::max(ptr, bmin);
+        const int64_t b = std::max(ptr, bmin);
         if (b <= bmax && b < L) {
-          // stash assignment in the value's payload via parallel array
-          kv.second = kv.second;  // no-op; assignment kept separately
           ptr = b + 1;
-          rowbuf.emplace_back((int32_t)b, 0.0);  // placeholder (see below)
+          assign_buf.push_back((int32_t)b);
         } else {
-          rowbuf.emplace_back((int32_t)-1, 0.0);
+          assign_buf.push_back(-1);
         }
       }
     }
-    // rowbuf holds assignments in (r, k) order; rebuild per (k, i, j):
-    // index of row r's k-th element within rowbuf:
     {
       std::vector<int64_t> row_off(kChunkRows + 1, 0);
       for (int64_t r = 0; r < kChunkRows; ++r)
@@ -545,7 +541,7 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
           for (int64_t j = 0; j < kLanes; ++j) {
             const int64_t r = i * kLanes + j;
             if ((int64_t)rows[r].size() <= k) continue;
-            const int32_t b = rowbuf[row_off[r] + k].first;
+            const int32_t b = assign_buf[row_off[r] + k];
             const int64_t col = rows[r][k].first;
             const double val = rows[r][k].second;
             if (b < 0) {
@@ -570,7 +566,6 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
         }
       }
     }
-    rowbuf.clear();
     // greedy spill packing (cols ascending, stable)
     n_spilled += (int64_t)spills.size();
     std::stable_sort(spills.begin(), spills.end(),
