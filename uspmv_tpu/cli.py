@@ -216,7 +216,9 @@ def main(argv=None) -> int:
 
         checker = SanityChecker(cfg.output_dir)
         for s in getattr(op, "scs", {}).values():
-            checker.check_scs_padding(s)
+            # distributed operators hold per-shard lists
+            for si in (s if isinstance(s, list) else [s]):
+                checker.check_scs_padding(si)
 
     x0 = init_x_host(
         cfg, op.n_rows, op.matrix_stats, dtype=np.float64

@@ -163,8 +163,18 @@ class Config:
         return tuple(self.value_type[3:-1].split("_"))
 
     def working_dtype(self):
-        """The dtype y/x are held in (highest precision in play)."""
-        return dtype_for(self.ap_precisions[0])
+        """The dtype y/x are held in.
+
+        Matrix VALUES stream in each precision's own dtype; x/y and the
+        accumulator use the highest precision in play, with bfloat16
+        promoted to float32 — 'hp' means a bf16-valued matrix with f32
+        vectors/accumulation (strictly more accurate than the reference's
+        all-_Float16 path, and required by the Pallas kernel's f32 window
+        alignment)."""
+        d = dtype_for(self.ap_precisions[0])
+        if d.itemsize == 2:
+            return np.dtype(np.float32)
+        return d
 
 
 @dataclasses.dataclass

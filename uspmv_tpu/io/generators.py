@@ -132,14 +132,14 @@ def generate_matrix(spec: str) -> MtxData:
     parts = spec.split(",")
     name = parts[0]
     if name not in _GENERATORS:
-        from .scamac import scamac_generate
+        from .scamac import scamac_generate, scamac_models
 
-        try:
+        if name.lower() in scamac_models():
+            # genuine model errors (bad options, size limits) propagate
             return scamac_generate(spec)
-        except ValueError:
-            raise ValueError(
-                f"unknown generator {name!r}; available: "
-                f"{sorted(_GENERATORS)} + ScaMaC models (io/scamac.py)"
-            ) from None
+        raise ValueError(
+            f"unknown generator {name!r}; available: "
+            f"{sorted(_GENERATORS)} + ScaMaC models {sorted(scamac_models())}"
+        )
     args = [float(a) if "." in a else int(a) for a in parts[1:]]
     return _GENERATORS[name](*args)

@@ -124,6 +124,11 @@ _MODELS = {
 }
 
 
+def scamac_models() -> tuple:
+    """Names of the available ScaMaC-style models (lowercase)."""
+    return tuple(_MODELS) + ("tridiagonal",)
+
+
 def scamac_generate(spec: str) -> MtxData:
     """Generate a matrix from a ScaMaC-style spec string
     (reference scamac_generate, utilities.hpp:1585-1752)."""

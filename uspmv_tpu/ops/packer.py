@@ -39,7 +39,7 @@ WINDOW = CHUNK_ROWS  # x entries per gather window
 # read-modify-write. Only group tile counts are padded (to a multiple of
 # tiles_per_step), so padding waste is ~1% instead of the up-to-2x waste of
 # per-chunk padding. Fat steps amortize the measured ~250-500 ns/step grid
-# overhead (scripts/pallas_floor_bench.py).
+# overhead (scripts/pallas_tile_cost.py).
 MAX_CHUNKS_PER_GROUP = 256  # output block = (256, 8, 128) f32 = 1 MiB VMEM
 MAX_TILES_PER_STEP = 128  # 2x(128,8,128)x2 double-buffered = 2 MiB VMEM
 MIN_PIPELINE_STEPS = 16  # keep enough steps for DMA/compute overlap

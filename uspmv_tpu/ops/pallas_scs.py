@@ -483,7 +483,7 @@ def spmv_lane_tiles(
     )
     if windowed:
         XB = dev.x_block_rows
-        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
         out_spec = pl.BlockSpec(
             (bs, G, TILE_J, LANES),
             lambda s, m, g, f, xb: (Z, g[s], Z, Z),

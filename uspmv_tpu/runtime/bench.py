@@ -125,20 +125,28 @@ def bench_spmv(
     flops = 2.0 * op.nnz * bs * n_iter
     gflops = flops / elapsed / 1e9
 
-    # effective traffic: matrix stream (values+cols once per spmv) + x + y
+    # effective traffic: matrix stream (values+cols once per spmv) + x + y;
+    # overlapped distributed operators split the stream into interior +
+    # halo structs — count both
     mat_bytes = 0
     for dev in op.devs.values():
         mat_bytes += dev.stream_bytes()
+    for dev in getattr(op, "devs_halo", {}).values():
+        if dev is not None:
+            mat_bytes += dev.stream_bytes()
     vec_bytes = int(
         op.n_rows_padded * bs * np.dtype(op.working_dtype).itemsize * 2
     )
     gbps = (mat_bytes + vec_bytes) * n_iter / elapsed / 1e9
 
     device = getattr(op, "device", None)
-    platform = (
-        device.platform if device is not None
-        else next(iter(op.devs.values())).values.devices().pop().platform
-    )
+    if device is not None:
+        platform = device.platform
+    elif getattr(op, "mesh", None) is not None:
+        platform = op.mesh.devices.flat[0].platform
+    else:
+        leaf = jax.tree.leaves(next(iter(op.devs.values())))[0]
+        platform = leaf.devices().pop().platform
     comm = op.comm_volume_per_spmv()
     comm_elems = sum(v["real"] for v in comm.values()) if comm else 0
     return BenchResult(
