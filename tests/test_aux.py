@@ -141,3 +141,17 @@ def test_interface_reference_host_kernel():
         ui.spmv_reference_host(scs, x), mtx.to_scipy().tocsr() @ x,
         rtol=1e-12, atol=1e-12,
     )
+
+
+def test_scamac_models_listing():
+    from uspmv_tpu.io.scamac import scamac_models
+
+    ms = scamac_models()
+    assert "anderson" in ms and "spinchainxxz" in ms and "tridiagonal" in ms
+
+
+def test_scamac_option_errors_propagate():
+    with pytest.raises(ValueError, match="exceed memory"):
+        generate_matrix("SpinChainXXZ,L=30")
+    with pytest.raises(ValueError, match="bad ScaMaC option"):
+        generate_matrix("Anderson,badopt")

@@ -317,3 +317,25 @@ def test_distributed_lane_tiles(overlap, bs):
     y = op.to_host(op.spmv(op.make_x(x)))
     ref = mtx.to_scipy().tocsr() @ x
     assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_distributed_bench_smoke():
+    """bench_spmv works end-to-end on a distributed lane-tile operator
+    (regression: the platform/stream accounting crashed on DeviceLaneTiles
+    and ignored the halo split's stream bytes)."""
+    from uspmv_tpu.io.generators import laplace3d
+    from uspmv_tpu.runtime.bench import bench_spmv
+
+    mtx = laplace3d(16)
+    cfg = Config(
+        kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
+        n_shards=4, seg_method="seg-nnz", use_pallas=True, backend="cpu",
+        bench_time=0.05,
+    )
+    op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+    res = bench_spmv(op, warmup=2, start_iters=2)
+    assert res.platform == "cpu"
+    assert res.perf_gflops > 0
+    # matrix stream must include interior + halo splits, matching
+    # bytes_per_spmv's accounting
+    assert res.memory_footprint_bytes > 0

@@ -15,12 +15,16 @@ kernels.hpp:216-301). Design (see ops/packer.py and SURVEY.md §7):
     nothing and there is no scatter anywhere). The output block index is
     data-driven via scalar prefetch (PrefetchScalarGridSpec), so Pallas
     keeps it resident in VMEM across the group's consecutive steps;
-  * fat steps (default 32 tiles) amortize the measured ~250-500 ns/step
+  * fat steps (up to 128 tiles) amortize the measured ~250-500 ns/step
     grid overhead; only group tile counts are padded (~1% waste) instead
     of per-chunk padding (up to 2x waste on short chunks);
-  * x is VMEM-resident.
+  * x is VMEM-resident when it fits the budget; larger matrices stream
+    per-group x windows from HBM, double-buffered into VMEM scratch with
+    manual async DMA (one copy per group, prefetched a group ahead);
+  * the 10-bit gather tables ride an int16 stream; 2-byte value dtypes
+    (hp = bfloat16) pair two j-plane tiles per native (16, 128) tile.
 
-Interpret mode (CPU) runs the same kernel with the primitive's
+Interpret mode (CPU) runs the same kernels with the primitive's
 take_along_axis fallback, so tests validate exact device semantics.
 """
 
@@ -56,11 +60,11 @@ def pallas_supported() -> bool:
 
 CL_BITS = 8  # chunk-local index bits in the packed meta word (G <= 256)
 
-# the kernel keeps ALL RHS vectors of x resident in VMEM (~16 MB/core);
-# leave room for the output block, double-buffered tile streams and
-# compiler slack. Beyond this, builders fall back to the XLA path
-# (a windowed-x kernel is the future fix for huge single-chip matrices —
-# multi-chip sharding already divides x).
+# budget for keeping all RHS vectors of x resident in VMEM (~16 MB/core,
+# leaving room for the output block, double-buffered tile streams and
+# compiler slack). Beyond this the builder switches to per-group x windows
+# streamed from HBM; if even one group's window footprint exceeds the
+# budget, it falls back to the XLA path.
 X_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 # the per-tile meta word is a scalar-prefetch SMEM operand (~1 MB SMEM);
 # tile counts beyond this bound (t.ex. power-law rows at sigma=1, whose SCS
