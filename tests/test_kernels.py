@@ -207,3 +207,30 @@ def test_flops_and_bytes_accounting():
     assert op.flops_per_spmv() == 2 * mtx.nnz
     assert op.bytes_per_spmv() > 0
     assert 0 < op.beta()["dp"] <= 1.0
+
+
+def test_scs_explosion_guard_falls_back_to_crs():
+    """Power-law rows at C=1024 would pad nnz by orders of magnitude; the
+    operator degrades to CRS with a warning instead of allocating gigabytes
+    (reference behavior is to allocate; SURVEY.md 'hard parts')."""
+    import warnings
+
+    from uspmv_tpu.io.generators import random_imbalanced
+
+    mtx = random_imbalanced(60_000, 12, alpha=1.1, seed=13)
+    counts = np.bincount(mtx.I, minlength=mtx.n_rows)
+    assert counts.max() > 1000  # genuinely heavy-tailed
+    cfg = Config(
+        kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
+        use_pallas=True, backend="cpu",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        op = SpmvOperator.from_mtx(cfg, mtx)
+    assert any("falling back to CRS" in str(x.message) for x in w)
+    prim = next(iter(op.scs.values()))
+    assert prim.C == 1 and prim.n_elements <= 2 * mtx.nnz
+    x = np.random.default_rng(0).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5

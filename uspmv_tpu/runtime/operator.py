@@ -69,6 +69,42 @@ def use_lane_tiles(config: Config) -> bool:
     )
 
 
+MAX_SCS_EXPANSION = 16.0  # n_elements / nnz beyond which SCS is refused
+
+
+def _guard_scs_explosion(mtx: MtxData, C: int, sigma: int):
+    """Estimate SCS padding before converting; degrade to CRS when the
+    chosen (C, sigma) would explode (e.g. power-law rows at C=1024: one
+    17k-nnz row inflates its whole 1024-row chunk to 17M elements). The
+    reference would happily allocate the padding (its sigma exists to fix
+    this); we refuse to hang and fall back with a warning."""
+    if C <= 1 or mtx.nnz == 0:
+        return C, sigma
+    counts = np.bincount(mtx.I, minlength=mtx.n_rows).astype(np.int64)
+    n_pad = ((mtx.n_rows + C - 1) // C) * C
+    counts = np.pad(counts, (0, n_pad - counts.size))
+    if sigma > 1:
+        # sigma-window descending sort, window-aligned like the converter
+        order = np.concatenate([
+            lo + np.argsort(-counts[lo : lo + sigma], kind="stable")
+            for lo in range(0, n_pad, sigma)
+        ])
+        counts = counts[order]
+    est = int(counts.reshape(-1, C).max(axis=1).sum()) * C
+    if est > mtx.nnz * MAX_SCS_EXPANSION and est > (1 << 24):
+        import warnings
+
+        warnings.warn(
+            f"SCS with C={C}, sigma={sigma} would pad {mtx.nnz} nonzeros to "
+            f"{est} elements ({est / mtx.nnz:.0f}x); falling back to CRS. "
+            "Increase sigma (row sorting) or use a smaller C for this "
+            "matrix.",
+            stacklevel=3,
+        )
+        return 1, 1
+    return C, sigma
+
+
 def _impl_for(config: Config, device=None):
     """Kernel implementation selection (reference SpmvKernel ctor decision
     tree, classes_structs.hpp:435-688, collapsed: XLA/Pallas tiling replaces
@@ -127,6 +163,7 @@ class SpmvOperator:
 
         C = config.chunk_size if config.kernel_format == "scs" else 1
         sigma = config.sigma if config.kernel_format == "scs" else 1
+        C, sigma = _guard_scs_explosion(mtx, C, sigma)
 
         n_dropped = 0
         scs: Dict[str, ScsData] = {}
@@ -170,7 +207,7 @@ class SpmvOperator:
         from ..ops.pallas_scs import MAX_META_TILES
 
         devs = None
-        if use_lane_tiles(config) and (
+        if use_lane_tiles(config) and primary.C == config.chunk_size and (
             max(s.n_elements for s in scs.values()) // config.chunk_size
             <= MAX_META_TILES
         ):
