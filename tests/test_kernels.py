@@ -222,7 +222,7 @@ def test_scs_explosion_guard_falls_back_to_crs():
     assert counts.max() > 1000  # genuinely heavy-tailed
     cfg = Config(
         kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
-        use_pallas=True, backend="cpu",
+        use_pallas=True, backend="cpu", split_rows_threshold=-1,
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
@@ -234,3 +234,57 @@ def test_scs_explosion_guard_falls_back_to_crs():
     y = op.to_host(op.spmv(op.make_x(x)))
     ref = mtx.to_scipy().tocsr() @ x
     assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_heavy_row_splitting_lane_tiles():
+    """With splitting on (the default), power-law matrices stay on the
+    lane-tile path at healthy fill instead of degrading to CRS."""
+    from uspmv_tpu.io.generators import random_imbalanced
+    from uspmv_tpu.ops.pallas_scs import DeviceLaneTiles
+
+    mtx = random_imbalanced(60_000, 12, alpha=1.1, seed=13)
+    cfg = Config(
+        kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
+        use_pallas=True, backend="cpu",
+    )
+    op = SpmvOperator.from_mtx(cfg, mtx)
+    assert op.split_plan is not None
+    assert isinstance(op.devs["sp"], DeviceLaneTiles)
+    prim = next(iter(op.scs.values()))
+    # bounded padding (unsplit this matrix pads ~500x; sigma sorting
+    # tightens it further)
+    assert prim.n_elements < 8 * mtx.nnz
+    x = np.random.default_rng(0).standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-4
+    # solve mode (repeated SpMV with swap) folds partials every iteration
+    xd = op.make_x(x)
+    _, y3 = op.solve(xd, 3)
+    y3 = op.to_host(y3).astype(np.float64)
+    A = mtx.to_scipy().tocsr()
+    ref3 = A @ (A @ (A @ x))
+    assert np.abs(y3 - ref3).max() / np.abs(ref3).max() < 2e-3
+
+
+def test_split_heavy_rows_unit():
+    from uspmv_tpu.formats.coo import split_heavy_rows
+
+    # row 1 has 5 elements, threshold 2 -> pieces of 2,2,1
+    mtx = MtxData.from_arrays(
+        I=[0, 1, 1, 1, 1, 1, 2],
+        J=[0, 0, 1, 2, 3, 4, 2],
+        values=[1.0, 2, 3, 4, 5, 6, 7.0],
+        n_rows=3, n_cols=5, is_sorted=True,
+    )
+    out, parent = split_heavy_rows(mtx, 2)
+    assert out.n_rows == 5 and out.nnz == 7
+    np.testing.assert_array_equal(parent, [1, 1])
+    dense = np.zeros((3, 5))
+    d5 = out.to_scipy().toarray()
+    dense[:3] = d5[:3]
+    dense[1] += d5[3] + d5[4]
+    np.testing.assert_allclose(dense, mtx.to_scipy().toarray())
+    # no-op below threshold
+    same, p2 = split_heavy_rows(mtx, 16)
+    assert p2 is None and same is mtx

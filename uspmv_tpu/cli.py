@@ -233,7 +233,10 @@ def main(argv=None) -> int:
         checker.check_finite("solve result", y_host)
         print(f"[debug] sanity dumps -> {checker.path}")
     if cfg.validate_result:
-        rep = validate_solve(mtx, x0, np.asarray(y_host, dtype=np.float64), cfg.n_repetitions)
+        rep = validate_solve(
+            mtx, x0, np.asarray(y_host, dtype=np.float64),
+            cfg.n_repetitions, value_type=cfg.value_type,
+        )
         write_result_to_file(cfg, rep, cfg.n_repetitions)
         if args.json:
             print(json.dumps({"validation": dataclass_dict(rep)}))

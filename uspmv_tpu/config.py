@@ -84,6 +84,12 @@ class Config:
     equilibrate: bool = False
     jacobi_scale: bool = False
 
+    # --- heavy-row splitting (extension beyond the reference) ---
+    # Rows longer than the auto threshold split into virtual rows so one
+    # power-law row can't inflate its whole C-row chunk; partials are added
+    # back after each SpMV. 0 = auto threshold, -1 = disabled.
+    split_rows_threshold: int = 0
+
     # --- distribution (reference: -seg_method, MPI_MODE) ---
     seg_method: str = "seg-rows"
     comm_mode: str = "bulkvec"

@@ -132,6 +132,57 @@ class MtxData:
         )
 
 
+def split_heavy_rows(
+    mtx: MtxData, threshold: int
+) -> Tuple[MtxData, Optional[np.ndarray]]:
+    """Split rows with more than ``threshold`` nonzeros into virtual rows of
+    at most ``threshold`` elements appended after the real rows.
+
+    Extension beyond the reference: SELL-C-sigma pads every chunk to its
+    longest row, so one power-law row inflates its whole C-row chunk; after
+    splitting, row lengths are bounded and the fill stays healthy at any C.
+    The caller adds the virtual rows' partial results back into their parent
+    rows after each SpMV (cheap: only heavy rows split).
+
+    Returns ``(mtx', parent)`` where ``mtx'`` has
+    ``n_rows + n_virtual`` rows (columns untouched) and ``parent[v]`` is the
+    real row of virtual row ``n_rows + v`` — or ``(mtx, None)`` when nothing
+    splits. Requires row-sorted input (element order within rows preserved).
+    """
+    if not mtx.is_sorted:
+        raise ValueError("split_heavy_rows requires row-sorted input")
+    counts = np.bincount(mtx.I, minlength=mtx.n_rows).astype(np.int64)
+    if not (counts > threshold).any():
+        return mtx, None
+    # occurrence index k of each element within its row
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    k = np.arange(mtx.nnz, dtype=np.int64) - starts[mtx.I]
+    piece = k // threshold
+    n_pieces = (counts + threshold - 1) // threshold
+    n_virt_per_row = np.maximum(n_pieces - 1, 0)
+    virt_base = mtx.n_rows + np.concatenate(
+        ([0], np.cumsum(n_virt_per_row[:-1]))
+    )
+    new_I = np.where(
+        piece == 0, mtx.I.astype(np.int64), virt_base[mtx.I] + piece - 1
+    )
+    n_virtual = int(n_virt_per_row.sum())
+    parent = np.repeat(
+        np.arange(mtx.n_rows, dtype=np.int32), n_virt_per_row
+    )
+    out = MtxData(
+        n_rows=mtx.n_rows + n_virtual,
+        n_cols=mtx.n_cols,
+        nnz=mtx.nnz,
+        is_sorted=False,
+        is_symmetric=False,
+        I=new_I.astype(np.int32),
+        J=mtx.J.copy(),
+        values=mtx.values.copy(),
+    ).sort_by_row()
+    return out, parent
+
+
 # ---------------------------------------------------------------------------
 # Permutation helpers (reference utilities.hpp:1755-1831)
 # ---------------------------------------------------------------------------

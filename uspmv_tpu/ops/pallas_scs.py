@@ -147,6 +147,15 @@ def build_device_lane_tiles(
     )
     tps = lt.tiles_per_step
     G = lt.chunks_per_group
+    if lt.n_tiles > MAX_META_TILES:
+        # spill tiles can balloon past any pre-pack estimate on matrices
+        # with no gather locality (random columns); the meta word is an
+        # SMEM operand, so refuse and let the caller fall back to XLA
+        raise ValueError(
+            f"packed tile count {lt.n_tiles} exceeds the SMEM meta budget "
+            f"({MAX_META_TILES}); this matrix has too little column "
+            "locality for the lane-tile kernel"
+        )
     if G > (1 << CL_BITS):
         raise ValueError(f"chunks_per_group > {1 << CL_BITS} breaks meta packing")
     tile_group = lt.tile_chunk // G

@@ -288,41 +288,51 @@ class DistributedSpmvOperator:
                     )
                     for s in structs
                 ])
-        devs: Dict[str, DeviceScs] = {}
-        devs_halo: Dict[str, Optional[DeviceScs]] = {}
-        for p in precisions:
-            # halo-extended x buffer length for this precision's plan
-            H1 = (plans[p].H + 1) if plans[p] is not None else R * n_loc
-            if overlap:
-                pairs = [_split_scs_for_overlap(s) for s in scs[p]]
-                interior = [a for a, _ in pairs]
-                halos = [b for _, b in pairs]
-                if lane:
-                    devs[p] = build_stack(interior, p, n_loc)
-                else:
-                    devs[p] = _stack_device_scs(
-                        [build_device_scs(s, tile_elems=config.tile_elems)
-                         for s in interior]
-                    )
-                if any(h.nnz for h in halos):
-                    if lane:
-                        devs_halo[p] = build_stack(halos, p, H1)
+        def _build_all(use_lane):
+            devs: Dict[str, DeviceScs] = {}
+            devs_halo: Dict[str, Optional[DeviceScs]] = {}
+            for p in precisions:
+                # halo-extended x buffer length for this precision's plan
+                H1 = (plans[p].H + 1) if plans[p] is not None else R * n_loc
+                if overlap:
+                    pairs = [_split_scs_for_overlap(s) for s in scs[p]]
+                    interior = [a for a, _ in pairs]
+                    halos = [b for _, b in pairs]
+                    if use_lane:
+                        devs[p] = build_stack(interior, p, n_loc)
                     else:
-                        devs_halo[p] = _stack_device_scs(
-                            [build_device_scs(h, tile_elems=config.tile_elems)
-                             for h in halos]
+                        devs[p] = _stack_device_scs(
+                            [build_device_scs(s, tile_elems=config.tile_elems)
+                             for s in interior]
                         )
+                    if any(h.nnz for h in halos):
+                        if use_lane:
+                            devs_halo[p] = build_stack(halos, p, H1)
+                        else:
+                            devs_halo[p] = _stack_device_scs(
+                                [build_device_scs(
+                                    h, tile_elems=config.tile_elems)
+                                 for h in halos]
+                            )
+                    else:
+                        devs_halo[p] = None
                 else:
+                    if use_lane:
+                        devs[p] = build_stack(scs[p], p, H1)
+                    else:
+                        devs[p] = _stack_device_scs(
+                            [build_device_scs(s, tile_elems=config.tile_elems)
+                             for s in scs[p]]
+                        )
                     devs_halo[p] = None
-            else:
-                if lane:
-                    devs[p] = build_stack(scs[p], p, H1)
-                else:
-                    devs[p] = _stack_device_scs(
-                        [build_device_scs(s, tile_elems=config.tile_elems)
-                         for s in scs[p]]
-                    )
-                devs_halo[p] = None
+            return devs, devs_halo
+
+        try:
+            devs, devs_halo = _build_all(lane)
+        except ValueError:
+            # lane-tile SMEM/VMEM budgets exceeded (e.g. spill blow-up on
+            # gather-hostile matrices): fall back to the XLA path
+            devs, devs_halo = _build_all(False)
 
         devices = _mesh_devices(config, R)
         mesh = Mesh(devices, ("rows",))

@@ -27,6 +27,7 @@ from ..formats.coo import (
     equilibrate_matrix,
     extract_matrix_min_mean_max,
     jacobi_scale_matrix,
+    split_heavy_rows,
 )
 from ..formats.scs import ScsData, convert_to_scs, permute_scs_cols
 from ..ops.device_format import DeviceScs, build_device_scs
@@ -140,6 +141,9 @@ class SpmvOperator:
     jacobi_diag: Optional[np.ndarray] = None
     equilib: Optional[tuple] = None
     device: Optional[object] = None
+    # heavy-row splitting: (virtual_pos, parent_pos) in permuted row space;
+    # each SpMV adds y[virtual_pos] into y[parent_pos] (tiny scatter-add)
+    split_plan: Optional[tuple] = None
     _jit_spmv: Optional[object] = None
 
     # ----------------------------------------------------------------- build
@@ -163,6 +167,17 @@ class SpmvOperator:
 
         C = config.chunk_size if config.kernel_format == "scs" else 1
         sigma = config.sigma if config.kernel_format == "scs" else 1
+
+        # heavy-row splitting (after scaling, which is per ORIGINAL row;
+        # before conversion, whose padding it is there to bound)
+        n_real = mtx.n_rows
+        split_parent = None
+        if C > 1 and config.split_rows_threshold >= 0:
+            th = config.split_rows_threshold
+            if th == 0:
+                mean = max(mtx.nnz // max(mtx.n_rows, 1), 1)
+                th = int(min(max(4 * mean, 32), 1024))
+            mtx, split_parent = split_heavy_rows(mtx, th)
         C, sigma = _guard_scs_explosion(mtx, C, sigma)
 
         n_dropped = 0
@@ -196,6 +211,13 @@ class SpmvOperator:
 
         primary = next(iter(scs.values()))
         old_to_new = primary.old_to_new_idx
+        split_plan = None
+        if split_parent is not None:
+            virt_ids = np.arange(n_real, mtx.n_rows, dtype=np.int64)
+            split_plan = (
+                old_to_new[virt_ids],
+                old_to_new[split_parent],
+            )
         # symmetric column permutation so x can live in permuted order
         # (reference main.cpp:1308 -> permute_scs_cols)
         full_perm = np.arange(primary.n_rows_padded, dtype=np.int32)
@@ -243,12 +265,13 @@ class SpmvOperator:
             }
         return cls(
             config=config,
-            n_rows=mtx.n_rows,
+            n_rows=n_real,
             n_rows_padded=primary.n_rows_padded,
             scs=scs,
             devs=devs,
-            old_to_new=old_to_new,
+            old_to_new=old_to_new[:n_real],
             matrix_stats=stats,
+            split_plan=split_plan,
             nnz=mtx.nnz,
             n_dropped=n_dropped,
             jacobi_diag=jac,
@@ -277,12 +300,18 @@ class SpmvOperator:
         impl = _impl_for(self.config, self.device)
         layout = self.config.vector_layout
         bs = self.config.block_vec_size
+        split = self.split_plan
 
         def one(devs, x):
             y = None
             for dev in devs.values():
                 yk = impl(dev, x)
                 y = yk if y is None else y + yk
+            if split is not None:
+                # heavy-row splitting: fold virtual-row partials into their
+                # parents (indices are tiny jit constants, not re-uploaded)
+                vp, pp = split
+                y = y.at[pp].add(y[vp])
             return y
 
         if bs > 1 and layout == "colwise":

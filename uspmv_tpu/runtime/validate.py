@@ -58,7 +58,7 @@ def oracle_solve(
 
 
 def compare(
-    y_ref: np.ndarray, y_ours: np.ndarray
+    y_ref: np.ndarray, y_ours: np.ndarray, value_type: str = "dp"
 ) -> ValidationReport:
     y_ref = np.asarray(y_ref, dtype=np.float64).reshape(-1)
     y_ours = np.asarray(y_ours, dtype=np.float64).reshape(-1)
@@ -80,10 +80,22 @@ def compare(
     ref_inf = float(denom.max()) if denom.size else 0.0
     robust_rel = diff / np.maximum(denom, max(1e-12 * ref_inf, 1e-300))
     max_robust = float(robust_rel.max()) if robust_rel.size else 0.0
+    # The reference's 1e-2/1e-4 per-element thresholds were designed for
+    # dp/sp vs MKL (its campaign never validates half precision,
+    # validate.sh). Pure-hp results are dominated by bf16 value quantization
+    # on near-cancelling elements, so hp is flagged on the relative L2 norm
+    # instead, scaled from bf16 eps (2^-8) per repetition.
     if not np.isfinite(y_ours).all():
         # a NaN/Inf result must never validate (e.g. f64 silently computed
         # as f32 on an accelerator and overflowing)
         flag = "ERROR"
+    elif value_type == "hp":
+        if not np.isfinite(rel_l2) or rel_l2 > 5e-2:
+            flag = "ERROR"
+        elif rel_l2 > 5e-3:
+            flag = "WARNING"
+        else:
+            flag = "OK"
     elif max_robust > REL_ERROR_THRESHOLD or not np.isfinite(max_robust):
         flag = "ERROR"
     elif max_robust > REL_WARNING_THRESHOLD:
@@ -105,8 +117,9 @@ def validate_solve(
     x0_host: np.ndarray,
     y_host: np.ndarray,
     n_repetitions: int,
+    value_type: str = "dp",
 ) -> ValidationReport:
     """Validate a solve-mode result (host order, unpermuted) against the
-    scipy oracle at the reference thresholds."""
+    scipy oracle at the reference thresholds (precision-aware for hp)."""
     y_ref = oracle_solve(mtx, x0_host, n_repetitions)
-    return compare(y_ref, y_host)
+    return compare(y_ref, y_host, value_type=value_type)
