@@ -288,3 +288,24 @@ def test_split_heavy_rows_unit():
     # no-op below threshold
     same, p2 = split_heavy_rows(mtx, 16)
     assert p2 is None and same is mtx
+
+
+def test_banded_imbalanced_generator_and_sigma():
+    """BandedImbalanced: power-law rows inside a diagonal band — the regime
+    where sigma-sorting + heavy-row splitting interact. Correctness at both
+    sigma extremes on the lane-tile path."""
+    from uspmv_tpu.io.generators import banded_imbalanced
+
+    mtx = banded_imbalanced(30_000, bandwidth=300, avg_nnz_per_row=8, seed=5)
+    counts = np.bincount(mtx.I, minlength=mtx.n_rows)
+    assert counts.max() > 100  # tail rows fill the band
+    x = np.random.default_rng(0).standard_normal(mtx.n_rows)
+    ref = mtx.to_scipy().tocsr() @ x
+    for sigma in (1, 4096):
+        cfg = Config(
+            kernel_format="scs", chunk_size=1024, sigma=sigma,
+            value_type="sp", use_pallas=True, backend="cpu",
+        )
+        op = SpmvOperator.from_mtx(cfg, mtx)
+        y = op.to_host(op.spmv(op.make_x(x)))
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-4

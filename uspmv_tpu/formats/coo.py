@@ -154,6 +154,13 @@ def split_heavy_rows(
     counts = np.bincount(mtx.I, minlength=mtx.n_rows).astype(np.int64)
     if not (counts > threshold).any():
         return mtx, None
+    # order elements by (row, col) so each piece covers a CONSECUTIVE column
+    # run — pieces then have tight gather windows instead of spanning the
+    # parent row's whole column range (row-internal order is free)
+    order = np.lexsort((mtx.J, mtx.I))
+    mtx = dataclasses.replace(
+        mtx, I=mtx.I[order], J=mtx.J[order], values=mtx.values[order]
+    )
     # occurrence index k of each element within its row
     starts = np.concatenate(([0], np.cumsum(counts)))
     k = np.arange(mtx.nnz, dtype=np.int64) - starts[mtx.I]

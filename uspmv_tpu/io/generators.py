@@ -105,6 +105,32 @@ def random_imbalanced(n: int, avg_nnz_per_row: int, alpha: float = 1.3, seed: in
     ).sort_by_row()
 
 
+def banded_imbalanced(
+    n: int, bandwidth: int = 64, avg_nnz_per_row: int = 8,
+    alpha: float = 1.3, seed: int = 7,
+) -> MtxData:
+    """Banded matrix with power-law row lengths: columns stay within a
+    diagonal band (gather-friendly) but row lengths are heavy-tailed —
+    the regime where sigma-sorting and heavy-row splitting pay."""
+    rng = np.random.default_rng(seed)
+    # mostly Poisson(avg) rows with a heavy tail: alpha controls the tail
+    # fraction (~0.1% at 1.3) whose rows fill the whole band
+    counts = rng.poisson(max(avg_nnz_per_row - 1, 1), n) + 1
+    tail = rng.random(n) < 10 ** (-alpha - 1.7)
+    counts = np.where(tail, 2 * bandwidth + 1, counts).astype(np.int64)
+    counts = np.minimum(counts, 2 * bandwidth + 1)
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    offs = rng.integers(-bandwidth, bandwidth + 1, rows.size)
+    cols = np.clip(rows + offs, 0, n - 1)
+    vals = rng.standard_normal(rows.size)
+    # deduplicate (i, j)
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    return MtxData.from_arrays(
+        rows[first], cols[first], vals[first], n_rows=n, n_cols=n
+    ).sort_by_row()
+
+
 def tridiag(n: int, diag: float = 2.0, off: float = -1.0) -> MtxData:
     idx = np.arange(n, dtype=np.int64)
     rows = np.concatenate([idx, idx[1:], idx[:-1]])
@@ -120,6 +146,7 @@ _GENERATORS = {
     "Laplace3D": laplace3d,
     "RandomBanded": random_banded,
     "RandomImbalanced": random_imbalanced,
+    "BandedImbalanced": banded_imbalanced,
     "Tridiag": tridiag,
 }
 
