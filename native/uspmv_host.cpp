@@ -413,7 +413,6 @@ namespace {
 constexpr int64_t kTileJ = 8;
 constexpr int64_t kLanes = 128;
 constexpr int64_t kChunkRows = kTileJ * kLanes;  // 1024
-constexpr int64_t kWindow = kChunkRows;
 constexpr int64_t kChunksPerGroup = 64;
 constexpr int64_t kMaxTps = 128;
 constexpr int64_t kMinSteps = 16;
@@ -454,11 +453,13 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
     int64_t n_chunks, int64_t n_rows_padded, const int32_t* chunk_ptrs,
     const int32_t* chunk_lengths, const int32_t* col_idxs,
     const double* values, const int32_t* row_counts_new, int64_t x_len,
-    int64_t tiles_per_step, int64_t chunks_per_group) {
+    int64_t tiles_per_step, int64_t chunks_per_group, int64_t window_rows) {
   (void)n_rows_padded;  // row space is implied by n_chunks * 1024
   const int64_t cpg = chunks_per_group > 0 ? chunks_per_group : kChunksPerGroup;
-  const int64_t x_rows = std::max((x_len + kLanes - 1) / kLanes, kTileJ);
-  const int64_t max_wrow = std::max(x_rows - kTileJ, (int64_t)0);
+  const int64_t wrows = window_rows > 0 ? window_rows : kTileJ;
+  const int64_t kWindow = wrows * kLanes;  // 8 = narrow, 16 = wide windows
+  const int64_t x_rows = std::max((x_len + kLanes - 1) / kLanes, wrows);
+  const int64_t max_wrow = std::max(x_rows - wrows, (int64_t)0);
 
   std::vector<Tile> tiles;   // base bins, in plane_start order
   std::vector<Tile> extras;  // spill tiles, appended after all base bins

@@ -70,6 +70,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.uspmv_pack_lane_tiles.restype = ctypes.c_void_p
     lib.uspmv_pack_lane_tiles.argtypes = [
         _i64, _i64, _i32p, _i32p, _i32p, _f64p, _i32p, _i64, _i64, _i64,
+        _i64,
     ]
     lib.uspmv_pack_sizes.argtypes = [ctypes.c_void_p, _i64p, _i64p, _i64p, _i64p]
     lib.uspmv_pack_fetch.argtypes = [ctypes.c_void_p, _f32p, _i32p, _i32p, _i32p]
@@ -226,7 +227,8 @@ def convert_to_scs_native(mtx, C: int, sigma: int, dtype=None,
 
 
 def pack_lane_tiles_native(scs, dtype, tiles_per_step=None,
-                           chunks_per_group=None, x_len=None):
+                           chunks_per_group=None, x_len=None,
+                           window_rows=8):
     """Native lane-tile packing -> ops.packer.LaneTiles, or None if the lib
     is unavailable or the value dtype needs more than f32 precision (f64
     packing falls back to Python)."""
@@ -259,6 +261,7 @@ def pack_lane_tiles_native(scs, dtype, tiles_per_step=None,
         scs.n_chunks, scs.n_rows_padded, _ptr_i32(cp), _ptr_i32(cl),
         _ptr_i32(ci), vals.ctypes.data_as(_f64p), _ptr_i32(rc),
         int(x_len), int(tiles_per_step or 0), int(chunks_per_group or 0),
+        int(window_rows),
     )
     if not h:
         _raise_last(lib)
@@ -292,4 +295,5 @@ def pack_lane_tiles_native(scs, dtype, tiles_per_step=None,
         n_spilled=int(nsp.value),
         tiles_per_step=int(tps.value),
         chunks_per_group=int(cpg.value),
+        window_rows=int(window_rows),
     )

@@ -31,7 +31,12 @@ from ..formats.scs import ScsData
 TILE_J = 8  # sublanes
 LANES = 128  # lanes
 CHUNK_ROWS = TILE_J * LANES  # rows per chunk = elements per tile
-WINDOW = CHUNK_ROWS  # x entries per gather window
+WINDOW = CHUNK_ROWS  # x entries per narrow gather window (8 x2d rows)
+# wide mode: 16-row (2048-entry) windows — the kernel loads two (8,128)
+# halves and selects by the sublane table's bit 3 (+3 VPU ops/tile); chosen
+# automatically when narrow packing spills too much (scattered columns)
+WIDE_WINDOW_ROWS = 16
+WIDE_RETRY_FILL = 0.6  # repack wide when narrow fill lands below this
 # Grid structure (grouped-flat): grid steps are decoupled from chunk
 # boundaries — a step processes TILES_PER_STEP tiles of ONE chunk-GROUP
 # (CHUNKS_PER_GROUP consecutive chunks) and accumulates each tile into its
@@ -84,6 +89,7 @@ class LaneTiles:
     n_spilled: int
     tiles_per_step: int = 32
     chunks_per_group: int = 64
+    window_rows: int = TILE_J  # 8 = narrow, 16 = wide gather windows
 
     @property
     def n_tiles(self) -> int:
@@ -107,6 +113,7 @@ def pack_lane_tiles(
     chunks_per_group: int | None = None,
     x_len: int | None = None,
     native: bool | None = None,
+    window_rows: int = TILE_J,
 ) -> LaneTiles:
     """``x_len``: length of the x buffer the kernel will gather from
     (defaults to n_rows_padded; the distributed path passes the halo-extended
@@ -125,16 +132,18 @@ def pack_lane_tiles(
         out = pack_lane_tiles_native(
             scs, dtype, tiles_per_step=tiles_per_step,
             chunks_per_group=chunks_per_group, x_len=x_len,
+            window_rows=window_rows,
         )
         if out is not None:
             return out
         if native is True:
             raise RuntimeError("native host library unavailable")
     n_chunks = scs.n_chunks
+    window = window_rows * LANES
     if x_len is None:
         x_len = scs.n_rows_padded
-    x_rows = max((x_len + LANES - 1) // LANES, TILE_J)
-    max_wrow = max(x_rows - TILE_J, 0)
+    x_rows = max((x_len + LANES - 1) // LANES, window_rows)
+    max_wrow = max(x_rows - window_rows, 0)
 
     # --- flat j-plane view of the SCS stream ---
     nt_base = scs.n_elements // CHUNK_ROWS
@@ -184,7 +193,7 @@ def pack_lane_tiles(
         w_row[t0 : t0 + L] = wr
         W = wr * LANES
         # bin range covering each element's column
-        bmin = np.searchsorted(W + WINDOW, cols, side="right")
+        bmin = np.searchsorted(W + window, cols, side="right")
         bmax = np.searchsorted(W, cols, side="right") - 1
         ptr = np.zeros(CHUNK_ROWS, dtype=np.int64)
         out = np.full((L, CHUNK_ROWS), -1, dtype=np.int64)
@@ -250,7 +259,7 @@ def pack_lane_tiles(
             _pack_spills(
                 extra, int(c),
                 s_col[sel], s_val[sel], s_i[sel], s_j[sel],
-                max_wrow, dtype,
+                max_wrow, dtype, window,
             )
 
     # drop bins that ended up empty (all their elements moved elsewhere)
@@ -339,10 +348,12 @@ def pack_lane_tiles(
         n_spilled=n_spilled,
         tiles_per_step=tiles_per_step,
         chunks_per_group=chunks_per_group,
+        window_rows=window_rows,
     )
 
 
-def _pack_spills(extra, chunk, cols, vals, iis, jjs, max_wrow, dtype):
+def _pack_spills(extra, chunk, cols, vals, iis, jjs, max_wrow, dtype,
+                 window=WINDOW):
     """Greedy spill packing for one chunk. Each spill must land at its
     fixed y slot (i, j); constraints: window, free slot, S-consistency.
     cols sorted ascending."""
@@ -369,7 +380,7 @@ def _pack_spills(extra, chunk, cols, vals, iis, jjs, max_wrow, dtype):
         placed = False
         for t in open_tiles:
             off = int(col) - t["w"] * LANES
-            if not (0 <= off < WINDOW) or t["occ"][i, j]:
+            if not (0 <= off < window) or t["occ"][i, j]:
                 continue
             l, s = off & (LANES - 1), off >> 7
             if t["s_set"][i, l] and extra["sub"][t["k"]][i, l] != s:

@@ -114,6 +114,12 @@ class DeviceLaneTiles:
     x_rows_total: int = dataclasses.field(
         default=0, metadata=dict(static=True)
     )
+    # gather window height in x2d rows: 8 = narrow (one (8,128) window),
+    # 16 = wide (two halves selected by the sublane table's bit 3 — chosen
+    # when narrow packing spills too much on scattered-column matrices)
+    window_rows: int = dataclasses.field(
+        default=TILE_J, metadata=dict(static=True)
+    )
 
     @property
     def n_tiles(self) -> int:
@@ -137,14 +143,28 @@ def build_device_lane_tiles(
     x_len=None,
     x_window=None,  # None=auto, False=whole-x, True=force windowed
     block_vec_size=1,
+    window_rows=None,  # None = auto (retry wide when narrow fill is poor)
 ) -> DeviceLaneTiles:
-    lt = pack_lane_tiles(
-        scs,
-        dtype=dtype,
-        tiles_per_step=tiles_per_step,
-        chunks_per_group=chunks_per_group,
-        x_len=x_len,
-    )
+    from .packer import WIDE_RETRY_FILL, WIDE_WINDOW_ROWS
+
+    def pack(wr):
+        return pack_lane_tiles(
+            scs,
+            dtype=dtype,
+            tiles_per_step=tiles_per_step,
+            chunks_per_group=chunks_per_group,
+            x_len=x_len,
+            window_rows=wr,
+        )
+
+    if window_rows is not None:
+        lt = pack(window_rows)
+    else:
+        lt = pack(TILE_J)
+        if lt.fill < WIDE_RETRY_FILL:
+            wide = pack(WIDE_WINDOW_ROWS)
+            if wide.fill > lt.fill * 1.25:
+                lt = wide
     tps = lt.tiles_per_step
     G = lt.chunks_per_group
     if lt.n_tiles > MAX_META_TILES:
@@ -180,13 +200,14 @@ def build_device_lane_tiles(
             np.asarray(lt.vals).reshape(lt.n_tiles, -1).astype(np.float64)
             != 0.0
         ).any(axis=1)
+        wr = lt.window_rows
         base = np.zeros(lt.n_groups, dtype=np.int64)
-        top = np.full(lt.n_groups, TILE_J, dtype=np.int64)
+        top = np.full(lt.n_groups, wr, dtype=np.int64)
         for g in range(lt.n_groups):
             sel = real & (tile_group == g)
             if sel.any():
                 base[g] = w_abs[sel].min() & ~7  # sublane-align the base
-                top[g] = w_abs[sel].max() + TILE_J
+                top[g] = w_abs[sel].max() + wr
         foot = int(np.max(top - base)) if lt.n_groups else TILE_J
         x_block_rows = min(((foot + 7) // 8) * 8, ((x_rows + 7) // 8) * 8)
         base = np.minimum(base, max(x_rows - x_block_rows, 0)) & ~7
@@ -235,6 +256,7 @@ def build_device_lane_tiles(
         fill=lt.fill,
         x_block_rows=int(x_block_rows),
         x_rows_total=int(x_rows),
+        window_rows=lt.window_rows,
     )
 
 
@@ -249,8 +271,14 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
     them with explicit common values)."""
     tps = devs[0].tiles_per_step
     G = devs[0].chunks_per_group
+    WR = max(d.window_rows for d in devs)
     assert all(d.tiles_per_step == tps and d.chunks_per_group == G
                for d in devs)
+    # a narrow-packed shard running under a wide stacked kernel reads
+    # window_rows further into x; extend the padded extent accordingly
+    x_rows_total = max(
+        d.x_rows_total + (WR - d.window_rows) for d in devs
+    )
     NG = max(d.n_groups for d in devs)
     # each shard needs one extra zero-init step per group it doesn't have,
     # so the common [0, NG*G) output row range is fully defined everywhere
@@ -293,6 +321,8 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
         step_group=jnp.asarray(np.stack(sg)),
         step_first=jnp.asarray(np.stack(sf)),
         group_xbase=jnp.zeros((len(devs), NG), dtype=jnp.int32),
+        window_rows=WR,
+        x_rows_total=x_rows_total,
         tiles_per_step=tps,
         chunks_per_group=G,
         n_groups=NG,
@@ -301,6 +331,23 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
         nnz=sum(d.nnz for d in devs),
         fill=float(np.mean([d.fill for d in devs])),
     )
+
+
+
+def _gather_window(window, sub_tab, lane_tab, wr, acc_dtype=None):
+    """Two-step gather from an (wr, 128) window value.
+
+    narrow (wr=8): one sublane gather + one lane gather. wide (wr=16): the
+    window splits into two (8,128) halves; sublane gathers run on both and
+    the sublane table's bit 3 selects between them (+2 VPU ops/element-tile)
+    before the lane gather."""
+    if wr == TILE_J:
+        t1 = gather_sublanes(window, sub_tab)
+    else:
+        lo = gather_sublanes(window[0:TILE_J], sub_tab)
+        hi = gather_sublanes(window[TILE_J : 2 * TILE_J], sub_tab)
+        t1 = jnp.where(sub_tab >= TILE_J, hi, lo)
+    return gather_lanes(t1, lane_tab)
 
 
 def _kernel(
@@ -318,6 +365,7 @@ def _kernel(
     acc_dtype,
     tps,
     bs,
+    wr,
 ):
     del sg_ref
     step = pl.program_id(0)
@@ -345,9 +393,8 @@ def _kernel(
         else:
             v = vals_ref[k].astype(acc_dtype)
         for b in range(bs):
-            window = x_ref[b, pl.ds(w, TILE_J), :]
-            t1 = gather_sublanes(window, sub_tab)
-            g = gather_lanes(t1, lane_tab)
+            window = x_ref[b, pl.ds(w, wr), :]
+            g = _gather_window(window, sub_tab, lane_tab, wr)
             out_ref[b, cl] = out_ref[b, cl] + v * g.astype(acc_dtype)
 
 
@@ -371,6 +418,7 @@ def _kernel_windowed(
     bs,
     XB,
     n_groups,
+    wr,
 ):
     step = pl.program_id(0)
     g = sg_ref[step]
@@ -435,9 +483,8 @@ def _kernel_windowed(
         else:
             v = vals_ref[k].astype(acc_dtype)
         for b in range(bs):
-            window = xwin_ref[slot, np.int32(b), pl.ds(w, TILE_J), :]
-            t1 = gather_sublanes(window, sub_tab)
-            gth = gather_lanes(t1, lane_tab)
+            window = xwin_ref[slot, np.int32(b), pl.ds(w, wr), :]
+            gth = _gather_window(window, sub_tab, lane_tab, wr)
             bi = np.int32(b)
             out_ref[bi, cl] = out_ref[bi, cl] + v * gth.astype(acc_dtype)
 
@@ -455,7 +502,9 @@ def spmv_lane_tiles(
     # distributed path); windows were clamped to its length at pack time.
     # Windowed mode pads x up to the build-time extent so every group's
     # [base, base+XB) DMA stays in range.
-    x_rows = max((x.shape[0] + LANES - 1) // LANES, TILE_J, dev.x_rows_total)
+    x_rows = max(
+        (x.shape[0] + LANES - 1) // LANES, dev.window_rows, dev.x_rows_total
+    )
     block = x.ndim == 2
     bs = x.shape[1] if block else 1
     x3d = x if block else x[:, None]
@@ -504,7 +553,7 @@ def spmv_lane_tiles(
         )
         kernel = functools.partial(
             _kernel_windowed, acc_dtype=acc_dtype, tps=tps, bs=bs,
-            XB=XB, n_groups=dev.n_groups,
+            XB=XB, n_groups=dev.n_groups, wr=dev.window_rows,
         )
         scratch = [
             pltpu.VMEM((2, bs, XB, LANES), x3d.dtype),
@@ -522,7 +571,8 @@ def spmv_lane_tiles(
             memory_space=pltpu.VMEM,
         )
         kernel = functools.partial(
-            _kernel, acc_dtype=acc_dtype, tps=tps, bs=bs
+            _kernel, acc_dtype=acc_dtype, tps=tps, bs=bs,
+            wr=dev.window_rows,
         )
         scratch = []
         extra = ()

@@ -280,14 +280,28 @@ class DistributedSpmvOperator:
             )
 
             def build_stack(structs, p, x_len):
-                return stack_device_lane_tiles([
-                    build_device_lane_tiles(
-                        s, dtype=dtype_for(p), tiles_per_step=tps,
-                        chunks_per_group=cpg, x_len=x_len,
-                        x_window=False,  # sharding already divides x
-                    )
-                    for s in structs
-                ])
+                # one window size for the whole stack (the stacked kernel
+                # is a single program): narrow first, rebuilt wide when the
+                # combined fill is poor
+                from ..ops.packer import TILE_J, WIDE_RETRY_FILL, WIDE_WINDOW_ROWS
+
+                def build(wr):
+                    return stack_device_lane_tiles([
+                        build_device_lane_tiles(
+                            s, dtype=dtype_for(p), tiles_per_step=tps,
+                            chunks_per_group=cpg, x_len=x_len,
+                            x_window=False,  # sharding already divides x
+                            window_rows=wr,
+                        )
+                        for s in structs
+                    ])
+
+                stacked = build(TILE_J)
+                if stacked.fill < WIDE_RETRY_FILL:
+                    wide = build(WIDE_WINDOW_ROWS)
+                    if wide.fill > stacked.fill * 1.25:
+                        stacked = wide
+                return stacked
         def _build_all(use_lane):
             devs: Dict[str, DeviceScs] = {}
             devs_halo: Dict[str, Optional[DeviceScs]] = {}
