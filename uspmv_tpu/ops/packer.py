@@ -37,6 +37,19 @@ WINDOW = CHUNK_ROWS  # x entries per narrow gather window (8 x2d rows)
 # automatically when narrow packing spills too much (scattered columns)
 WIDE_WINDOW_ROWS = 16
 WIDE_RETRY_FILL = 0.6  # repack wide when narrow fill lands below this
+WIDE_ACCEPT_FACTOR = 1.25  # keep the wide pack only if fill improves this much
+
+
+def pack_with_window_retry(pack):
+    """Single-sourced narrow-vs-wide policy: ``pack(window_rows)`` is
+    called narrow first and re-called wide when fill is poor enough and the
+    wide pack actually helps."""
+    lt = pack(TILE_J)
+    if lt.fill < WIDE_RETRY_FILL:
+        wide = pack(WIDE_WINDOW_ROWS)
+        if wide.fill > lt.fill * WIDE_ACCEPT_FACTOR:
+            lt = wide
+    return lt
 # Grid structure (grouped-flat): grid steps are decoupled from chunk
 # boundaries — a step processes TILES_PER_STEP tiles of ONE chunk-GROUP
 # (CHUNKS_PER_GROUP consecutive chunks) and accumulates each tile into its

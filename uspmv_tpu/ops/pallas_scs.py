@@ -145,7 +145,7 @@ def build_device_lane_tiles(
     block_vec_size=1,
     window_rows=None,  # None = auto (retry wide when narrow fill is poor)
 ) -> DeviceLaneTiles:
-    from .packer import WIDE_RETRY_FILL, WIDE_WINDOW_ROWS
+    from .packer import pack_with_window_retry
 
     def pack(wr):
         return pack_lane_tiles(
@@ -157,14 +157,8 @@ def build_device_lane_tiles(
             window_rows=wr,
         )
 
-    if window_rows is not None:
-        lt = pack(window_rows)
-    else:
-        lt = pack(TILE_J)
-        if lt.fill < WIDE_RETRY_FILL:
-            wide = pack(WIDE_WINDOW_ROWS)
-            if wide.fill > lt.fill * 1.25:
-                lt = wide
+    lt = pack(window_rows) if window_rows is not None else \
+        pack_with_window_retry(pack)
     tps = lt.tiles_per_step
     G = lt.chunks_per_group
     if lt.n_tiles > MAX_META_TILES:
@@ -185,7 +179,7 @@ def build_device_lane_tiles(
     # windows double-buffered into VMEM scratch) ---
     if x_len is None:
         x_len = lt.n_rows_padded
-    x_rows = max((int(x_len) + LANES - 1) // LANES, TILE_J)
+    x_rows = max((int(x_len) + LANES - 1) // LANES, lt.window_rows)
     if x_window is None:
         x_window = not lane_tiles_fit(x_rows * LANES, block_vec_size)
     w_abs = lt.w_row.astype(np.int64)
@@ -197,8 +191,7 @@ def build_device_lane_tiles(
         # compute min over tiles with any nonzero value... padding tiles
         # have all-zero vals)
         real = (
-            np.asarray(lt.vals).reshape(lt.n_tiles, -1).astype(np.float64)
-            != 0.0
+            np.asarray(lt.vals).reshape(lt.n_tiles, -1) != 0
         ).any(axis=1)
         wr = lt.window_rows
         base = np.zeros(lt.n_groups, dtype=np.int64)

@@ -256,7 +256,8 @@ class DistributedSpmvOperator:
             for p in precisions
         )
         lane = use_lane_tiles(config) and lane_tiles_fit(
-            max_x, config.block_vec_size,
+            max_x,
+            config.block_vec_size if config.vector_layout == "rowwise" else 1,
             n_elements=max(
                 s.n_elements for lst in scs.values() for s in lst
             ),
@@ -275,33 +276,26 @@ class DistributedSpmvOperator:
             # kernel is one program); estimated from the average shard
             est_tiles = max(mtx.nnz // R // (config.chunk_size or 1), 1)
             tps = auto_tiles_per_step(est_tiles)
-            cpg = resolve_chunks_per_group(
-                n_loc // config.chunk_size, config.block_vec_size
-            )
+            # colwise SpMMV runs vmapped per vector: only one RHS is ever
+            # resident, so VMEM budgets use the effective per-launch bs
+            eff_bs = (config.block_vec_size
+                      if config.vector_layout == "rowwise" else 1)
+            cpg = resolve_chunks_per_group(n_loc // config.chunk_size, eff_bs)
 
             def build_stack(structs, p, x_len):
                 # one window size for the whole stack (the stacked kernel
-                # is a single program): narrow first, rebuilt wide when the
-                # combined fill is poor
-                from ..ops.packer import TILE_J, WIDE_RETRY_FILL, WIDE_WINDOW_ROWS
+                # is a single program); single-sourced narrow-vs-wide policy
+                from ..ops.packer import pack_with_window_retry
 
-                def build(wr):
-                    return stack_device_lane_tiles([
-                        build_device_lane_tiles(
-                            s, dtype=dtype_for(p), tiles_per_step=tps,
-                            chunks_per_group=cpg, x_len=x_len,
-                            x_window=False,  # sharding already divides x
-                            window_rows=wr,
-                        )
-                        for s in structs
-                    ])
-
-                stacked = build(TILE_J)
-                if stacked.fill < WIDE_RETRY_FILL:
-                    wide = build(WIDE_WINDOW_ROWS)
-                    if wide.fill > stacked.fill * 1.25:
-                        stacked = wide
-                return stacked
+                return pack_with_window_retry(lambda wr: stack_device_lane_tiles([
+                    build_device_lane_tiles(
+                        s, dtype=dtype_for(p), tiles_per_step=tps,
+                        chunks_per_group=cpg, x_len=x_len,
+                        x_window=False,  # sharding already divides x
+                        window_rows=wr,
+                    )
+                    for s in structs
+                ]))
         def _build_all(use_lane):
             devs: Dict[str, DeviceScs] = {}
             devs_halo: Dict[str, Optional[DeviceScs]] = {}

@@ -134,8 +134,10 @@ def bench_spmv(
     for dev in getattr(op, "devs_halo", {}).values():
         if dev is not None:
             mat_bytes += dev.stream_bytes()
+    n_shards = getattr(op, "R", 1)
     vec_bytes = int(
-        op.n_rows_padded * bs * np.dtype(op.working_dtype).itemsize * 2
+        n_shards * op.n_rows_padded * bs
+        * np.dtype(op.working_dtype).itemsize * 2
     )
     gbps = (mat_bytes + vec_bytes) * n_iter / elapsed / 1e9
 

@@ -86,11 +86,10 @@ def _guard_scs_explosion(mtx: MtxData, C: int, sigma: int):
     counts = np.pad(counts, (0, n_pad - counts.size))
     if sigma > 1:
         # sigma-window descending sort, window-aligned like the converter
-        order = np.concatenate([
-            lo + np.argsort(-counts[lo : lo + sigma], kind="stable")
-            for lo in range(0, n_pad, sigma)
-        ])
-        counts = counts[order]
+        # (vectorized: pad to a multiple of sigma and sort each window row)
+        n_sig = ((n_pad + sigma - 1) // sigma) * sigma
+        w = np.pad(counts, (0, n_sig - counts.size)).reshape(-1, sigma)
+        counts = -np.sort(-w, axis=1).reshape(-1)[:n_pad]
     est = int(counts.reshape(-1, C).max(axis=1).sum()) * C
     if est > mtx.nnz * MAX_SCS_EXPANSION and est > (1 << 24):
         import warnings
@@ -236,9 +235,12 @@ class SpmvOperator:
             from ..ops.packer import resolve_chunks_per_group
             from ..ops.pallas_scs import build_device_lane_tiles
 
+            # colwise SpMMV is vmapped per vector: one RHS resident at a
+            # time, so VMEM budgets use the effective per-launch bs
+            eff_bs = (config.block_vec_size
+                      if config.vector_layout == "rowwise" else 1)
             cpg = resolve_chunks_per_group(
-                primary.n_rows_padded // config.chunk_size,
-                config.block_vec_size,
+                primary.n_rows_padded // config.chunk_size, eff_bs
             )
             try:
                 devs = {
@@ -250,7 +252,7 @@ class SpmvOperator:
                     p: build_device_lane_tiles(
                         s, dtype=dtype_for(p), device=device,
                         chunks_per_group=cpg,
-                        block_vec_size=config.block_vec_size,
+                        block_vec_size=eff_bs,
                     )
                     for p, s in scs.items()
                 }

@@ -58,7 +58,8 @@ def oracle_solve(
 
 
 def compare(
-    y_ref: np.ndarray, y_ours: np.ndarray, value_type: str = "dp"
+    y_ref: np.ndarray, y_ours: np.ndarray, value_type: str = "dp",
+    n_repetitions: int = 1,
 ) -> ValidationReport:
     y_ref = np.asarray(y_ref, dtype=np.float64).reshape(-1)
     y_ours = np.asarray(y_ours, dtype=np.float64).reshape(-1)
@@ -90,9 +91,12 @@ def compare(
         # as f32 on an accelerator and overflowing)
         flag = "ERROR"
     elif value_type == "hp":
-        if not np.isfinite(rel_l2) or rel_l2 > 5e-2:
+        # bf16 value quantization ~2^-8 relative per apply; error compounds
+        # roughly with sqrt(n_repetitions) for independent roundings
+        warn = 4e-3 * float(np.sqrt(max(n_repetitions, 1)))
+        if not np.isfinite(rel_l2) or rel_l2 > 10 * warn:
             flag = "ERROR"
-        elif rel_l2 > 5e-3:
+        elif rel_l2 > warn:
             flag = "WARNING"
         else:
             flag = "OK"
@@ -122,4 +126,6 @@ def validate_solve(
     """Validate a solve-mode result (host order, unpermuted) against the
     scipy oracle at the reference thresholds (precision-aware for hp)."""
     y_ref = oracle_solve(mtx, x0_host, n_repetitions)
-    return compare(y_ref, y_host, value_type=value_type)
+    return compare(
+        y_ref, y_host, value_type=value_type, n_repetitions=n_repetitions
+    )
