@@ -155,3 +155,31 @@ def test_scamac_option_errors_propagate():
         generate_matrix("SpinChainXXZ,L=30")
     with pytest.raises(ValueError, match="bad ScaMaC option"):
         generate_matrix("Anderson,badopt")
+
+
+def test_cg_example_converges():
+    """The embedding example (examples/cg_solver.py) converges on the
+    lane-tile SpMV closure — the 'embed SpMV in your own solver' use case
+    of the reference's interface.hpp."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "cg_solver",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "cg_solver.py"),
+    )
+    cg_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cg_mod)
+
+    import uspmv_tpu.interface as ui
+    from uspmv_tpu.io.generators import laplace2d
+
+    mtx = laplace2d(24)
+    h = ui.prepare(mtx, C=1024, sigma=1, value_type="sp", backend="cpu")
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal(mtx.n_rows)
+    b = mtx.to_scipy().tocsr() @ x_true
+    x, it, res = cg_mod.cg(h, b, tol=1e-5, maxiter=400)
+    assert res < 1e-4
+    assert np.linalg.norm(x - x_true) / np.linalg.norm(x_true) < 1e-2
