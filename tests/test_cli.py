@@ -143,3 +143,16 @@ def test_cli_parser_reference_flags():
     assert cfg.block_vec_size == 4 and cfg.vector_layout == "rowwise"
     assert cfg.equilibrate and cfg.seg_method == "seg-nnz"
     assert cfg.random_init_x
+
+
+def test_reference_flag_spellings(tmp_path):
+    """The reference binary's exact flags work: -ap[dp_sp], -apt1, -seg_nnz
+    (utilities.hpp:1325-1360)."""
+    from uspmv_tpu.cli import main
+
+    rc = main([
+        matrix_path("impcol_e.mtx"), "scs", "-c", "4", "-s", "4",
+        "-mode", "s", "-rev", "2", "-ap[dp_sp]", "-apt1", "0.5",
+        "-seg_nnz", "-validate", "1", "-mtx_out", str(tmp_path),
+    ])
+    assert rc == 0

@@ -165,7 +165,39 @@ def load_matrix(spec: str):
     return generate_matrix(spec)
 
 
+_REFERENCE_ALIASES = {
+    # the reference's exact spellings (utilities.hpp:1325-1360)
+    "-apt1": ["-ap_threshold_1"],
+    "-apt2": ["-ap_threshold_2"],
+    "-do": ["-dropout"],
+    "-dt": ["-dropout_threshold"],
+    "-seg_rows": ["-seg_method", "seg-rows"],
+    "-seg-rows": ["-seg_method", "seg-rows"],
+    "-seg_nnz": ["-seg_method", "seg-nnz"],
+    "-seg-nnz": ["-seg_method", "seg-nnz"],
+    "-seg_metis": ["-seg_method", "seg-metis"],
+    "-seg-metis": ["-seg_method", "seg-metis"],
+}
+
+
+def translate_reference_flags(argv):
+    """Accept the reference binary's exact flag spellings
+    (-ap[dp_sp], -apt1, -seg_rows, ...) alongside our own."""
+    out = []
+    for a in argv:
+        if a.startswith("-ap[") and a.endswith("]"):
+            out += ["-ap_value_type", a[1:]]
+        elif a in _REFERENCE_ALIASES:
+            out += _REFERENCE_ALIASES[a]
+        else:
+            out.append(a)
+    return out
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    argv = translate_reference_flags(list(argv))
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     cfg.validate()
