@@ -107,6 +107,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-impl", choices=["auto", "xla"], default="auto")
     p.add_argument("-debug", type=int, choices=[0, 1], default=0,
                    help="DEBUG_MODE_FINE analogue: stage dumps + checks")
+    p.add_argument("-log_prof", default=None, metavar="LOGDIR",
+                   help="capture a jax profiler trace of the bench loop to "
+                        "LOGDIR (LIKWID marker analogue)")
     p.add_argument("-mtx_out", default=".", dest="output_dir")
     p.add_argument("-seed", type=int, default=42)
     p.add_argument("-json", action="store_true", help="print result as JSON")
@@ -156,6 +159,7 @@ def config_from_args(args) -> Config:
         matrix_file_name=args.matrix,
         seed=args.seed,
         debug_mode=bool(args.debug),
+        log_prof=args.log_prof is not None,
     )
 
 
@@ -231,7 +235,13 @@ def main(argv=None) -> int:
         return 0
 
     if cfg.mode == "b":
-        res = bench_spmv(op)
+        from .runtime import profiling
+
+        marker = profiling.kernel_marker_name(cfg)
+        profiling.register_marker(marker)
+        with profiling.trace(args.log_prof, enabled=args.log_prof is not None):
+            with profiling.marker(marker, enabled=args.log_prof is not None):
+                res = bench_spmv(op)
         write_bench_to_file(cfg, res)
         if args.json:
             print(json.dumps(res.to_dict()))
