@@ -27,7 +27,6 @@ def cg(op, b_host, tol=1e-6, maxiter=500):
     args = op.kernel_args
 
     b = op.make_x(b_host)
-    n_pad = b.shape[0]
 
     @jax.jit
     def step(args, state):
@@ -47,14 +46,17 @@ def cg(op, b_host, tol=1e-6, maxiter=500):
     b_norm = float(jnp.sqrt(rs))
     state = (x, r, p, rs)
     it = 0
+    res = 1.0
     while it < maxiter:
         state = step(args, state)
         it += 1
-        if it % 25 == 0 or float(jnp.sqrt(state[3])) <= tol * b_norm:
+        # fetch the residual only every 25 iterations — each float() is a
+        # device sync that would otherwise serialize the pipeline
+        if it % 25 == 0 or it == maxiter:
             res = float(jnp.sqrt(state[3])) / b_norm
             if res <= tol:
                 break
-    res = float(np.sqrt(float(state[3]))) / b_norm
+    res = float(jnp.sqrt(state[3])) / b_norm
     return op.to_host(state[0]), it, res
 
 

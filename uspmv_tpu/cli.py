@@ -238,7 +238,6 @@ def main(argv=None) -> int:
         from .runtime import profiling
 
         marker = profiling.kernel_marker_name(cfg)
-        profiling.register_marker(marker)
         with profiling.trace(args.log_prof, enabled=args.log_prof is not None):
             with profiling.marker(marker, enabled=args.log_prof is not None):
                 res = bench_spmv(op)

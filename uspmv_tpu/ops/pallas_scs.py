@@ -157,8 +157,10 @@ def build_device_lane_tiles(
             window_rows=wr,
         )
 
-    lt = pack(window_rows) if window_rows is not None else \
-        pack_with_window_retry(pack)
+    if window_rows is not None:
+        lt = pack(window_rows)
+    else:
+        lt = pack_with_window_retry(pack)
     tps = lt.tiles_per_step
     G = lt.chunks_per_group
     if lt.n_tiles > MAX_META_TILES:
