@@ -156,3 +156,24 @@ def test_reference_flag_spellings(tmp_path):
         "-seg_nnz", "-validate", "1", "-mtx_out", str(tmp_path),
     ])
     assert rc == 0
+
+
+def test_equilibrated_solve_validates(tmp_path):
+    """-equilibrate changes the operator; the validation oracle must see the
+    same scaled matrix (reference equilibrates total_mtx before the MKL
+    compare, main.cpp:1753-1754)."""
+    from uspmv_tpu.cli import main
+
+    rc = main([
+        matrix_path("impcol_e.mtx"), "scs", "-c", "4", "-s", "4",
+        "-mode", "s", "-rev", "2", "-sp", "-equilibrate", "1",
+        "-validate", "1", "-mtx_out", str(tmp_path),
+    ])
+    assert rc == 0
+
+    rc = main([
+        matrix_path("bcsstk13.mtx"), "crs", "-mode", "s", "-rev", "2",
+        "-dp", "-jacobi_scale", "1", "-validate", "1",
+        "-mtx_out", str(tmp_path),
+    ])
+    assert rc == 0

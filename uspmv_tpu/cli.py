@@ -274,8 +274,19 @@ def main(argv=None) -> int:
         checker.check_finite("solve result", y_host)
         print(f"[debug] sanity dumps -> {checker.path}")
     if cfg.validate_result:
+        # the oracle must see the same preprocessed operator: the reference
+        # equilibrates total_mtx before the MKL compare (main.cpp:1753-1754)
+        mtx_oracle = mtx
+        if cfg.equilibrate or cfg.jacobi_scale:
+            from .formats.coo import equilibrate_matrix, jacobi_scale_matrix
+
+            mtx_oracle = mtx.copy()
+            if cfg.jacobi_scale:
+                jacobi_scale_matrix(mtx_oracle)
+            if cfg.equilibrate:
+                equilibrate_matrix(mtx_oracle)
         rep = validate_solve(
-            mtx, x0, np.asarray(y_host, dtype=np.float64),
+            mtx_oracle, x0, np.asarray(y_host, dtype=np.float64),
             cfg.n_repetitions, value_type=cfg.value_type,
         )
         write_result_to_file(cfg, rep, cfg.n_repetitions)
