@@ -177,3 +177,23 @@ def test_equilibrated_solve_validates(tmp_path):
         "-mtx_out", str(tmp_path),
     ])
     assert rc == 0
+
+
+def test_rand_x_mean_mode(tmp_path):
+    """-rand_x m fills x with the matrix min/max midpoint (reference
+    default_values.x = matrix_mean, utilities.hpp:2352,2433)."""
+    from uspmv_tpu.cli import main
+
+    rc = main([
+        matrix_path("impcol_e.mtx"), "scs", "-c", "2", "-s", "2",
+        "-mode", "s", "-rev", "2", "-rand_x", "m", "-validate", "1",
+        "-mtx_out", str(tmp_path),
+    ])
+    assert rc == 0
+
+    from uspmv_tpu.config import Config
+    from uspmv_tpu.ops.vectors import init_x_host
+
+    cfg = Config(mean_init_x=True)
+    x = init_x_host(cfg, 5, matrix_stats=(1.0, 3.5, 6.0))
+    np.testing.assert_allclose(x, 3.5)

@@ -133,6 +133,7 @@ def config_from_args(args) -> Config:
         block_vec_size=args.block_vec_size,
         vector_layout=args.layout,
         random_init_x=(args.rand_x == "1"),
+        mean_init_x=(args.rand_x == "m"),
         mode=args.mode,
         n_repetitions=args.n_repetitions,
         bench_time=args.bench_time,

@@ -60,8 +60,9 @@ class Config:
     block_vec_size: int = 1
     vector_layout: str = "colwise"  # 'colwise' | 'rowwise'
 
-    # --- x initialization (reference: -rand_x, DefaultValues) ---
+    # --- x initialization (reference: -rand_x 0|1|m, DefaultValues) ---
     random_init_x: bool = False
+    mean_init_x: bool = False  # 'm': fill x with the matrix min/max midpoint
     random_init_A: bool = False
     seed: int = 42
 

@@ -35,6 +35,9 @@ def init_x_host(
       default      -> DefaultValues.x (5.0)
       random_init_x-> uniform(matrix_min, matrix_max), seeded (the reference
                       seeds from time(NULL); we are deterministic)
+      mean_init_x  -> the matrix |value| min/max midpoint (reference 'm',
+                      default_values.x = config->matrix_mean,
+                      utilities.hpp:2352,2433)
     """
     bs = config.block_vec_size
     shape = (n_rows, bs) if bs > 1 else (n_rows,)
@@ -44,6 +47,8 @@ def init_x_host(
         mn, _, mx = matrix_stats
         rng = np.random.default_rng(config.seed)
         x = rng.uniform(mn, mx, size=shape).astype(dtype)
+    elif config.mean_init_x:
+        x = np.full(shape, matrix_stats[1], dtype=dtype)
     else:
         x = np.full(shape, DefaultValues().x, dtype=dtype)
     return x
