@@ -101,8 +101,12 @@ class Config:
     # (main.cpp:408-418,464-469 call begin+finish back-to-back).
     overlap_comm: bool = True
     comm_halos: bool = True  # reference: -comm_halos
-    ba_synch: bool = True  # block_until_ready between timed iterations
-    par_pack: bool = True  # pack on device (always parallel on TPU)
+    # Accepted for reference-CLI parity but intentionally no-ops under XLA:
+    # iterations are timed inside one compiled loop with a device-fetch
+    # fence (ba_synch's barrier is implicit), and the halo pack is a fused
+    # device gather (par_pack's OpenMP toggle has no analogue).
+    ba_synch: bool = True
+    par_pack: bool = True
     no_pack: bool = False  # skip halo pack (perf experiment, reference -no_pack)
     print_comm_vol: bool = False
     n_shards: int = 1  # number of mesh devices along the "rows" axis
