@@ -37,6 +37,66 @@ def test_spin_chain_hermitian_and_magnon():
     assert np.count_nonzero(d[-1]) == 1  # no spin flips possible
 
 
+def test_hubbard_dimer_exact_spectrum():
+    # half-filled Hubbard dimer: eigenvalues 0, U, (U +- sqrt(U^2+16t^2))/2
+    from uspmv_tpu.io.scamac import hubbard
+
+    U, t = 1.3, 1.0
+    m = hubbard(n_sites=2, n_fermions=1, t=t, U=U)
+    assert m.n_rows == 4
+    d = m.to_scipy().toarray()
+    np.testing.assert_allclose(d, d.T)
+    ev = np.sort(np.linalg.eigvalsh(d))
+    r = np.sqrt(U * U + 16 * t * t)
+    np.testing.assert_allclose(
+        ev, np.sort([0.0, U, (U - r) / 2, (U + r) / 2]), atol=1e-12
+    )
+
+
+def test_hubbard_free_fermion_ring_spectrum():
+    # U=0 on a periodic ring: the spectrum must be sums of distinct
+    # single-particle energies -2t cos(2 pi k / n) per spin species.
+    # A wrong fermionic sign on the wrap-around bond breaks this.
+    from itertools import combinations
+
+    from uspmv_tpu.io.scamac import hubbard
+
+    n, nf = 5, 2
+    m = hubbard(n_sites=n, n_fermions=nf, t=1.0, U=0.0, pbc=1)
+    e1 = -2.0 * np.cos(2 * np.pi * np.arange(n) / n)
+    sector = np.sort([sum(c) for c in combinations(e1, nf)])
+    full = np.sort((sector[:, None] + sector[None, :]).ravel())
+    ev = np.sort(np.linalg.eigvalsh(m.to_scipy().toarray()))
+    np.testing.assert_allclose(ev, full, atol=1e-10)
+
+
+def test_hubbard_reference_example_spec():
+    # the reference's canonical ScaMaC example string (utilities.hpp:1610)
+    from math import comb
+
+    m = scamac_generate("Hubbard,n_sites=10,n_fermions=5,U=1.3")
+    assert m.n_rows == comb(10, 5) ** 2
+    A = m.to_scipy().tocsr()
+    assert abs(A - A.T).nnz == 0  # hermitian
+    diag = A.diagonal()
+    np.testing.assert_allclose(diag.max(), 1.3 * 5)  # max double occupancy
+    assert diag.min() == 0.0
+
+
+def test_hubbard_ranpot_and_guards():
+    from uspmv_tpu.io.scamac import hubbard
+
+    a = hubbard(n_sites=4, n_fermions=2, U=0.5, ranpot=0.3, seed=7)
+    b = hubbard(n_sites=4, n_fermions=2, U=0.5, ranpot=0.3, seed=7)
+    np.testing.assert_array_equal(a.values, b.values)  # reproducible
+    d = a.to_scipy().toarray()
+    np.testing.assert_allclose(d, d.T)
+    with pytest.raises(ValueError, match="n_fermions"):
+        hubbard(n_sites=3, n_fermions=4)
+    with pytest.raises(ValueError, match="memory|nonzeros"):
+        hubbard(n_sites=20, n_fermions=10)
+
+
 def test_scamac_spec_parsing():
     m = scamac_generate("Anderson,Lx=3,Ly=3,Lz=2,disorder=4.0,seed=9")
     assert m.n_rows == 18

@@ -9,6 +9,11 @@ interface:
 
   Anderson        3-D Anderson localization: -Laplacian + disorder diagonal
                   (params: Lx[,Ly,Lz], disorder, seed, pbc)
+  Hubbard         1-D fermionic Hubbard chain in the fixed-filling sector
+                  (params: n_sites, n_fermions, t, U, ranpot, seed, pbc) —
+                  the reference's canonical ScaMaC example
+                  ("Hubbard,n_sites=10,n_fermions=5,U=1.3",
+                  utilities.hpp:1610)
   SpinChainXXZ    Heisenberg XXZ chain, dimension 2^L
                   (params: L, Jxy, Jz, Bz, seed — Bz>0 adds a random field)
   Tridiagonal     1-D chain (params: n, diag, off)
@@ -110,11 +115,124 @@ def spin_chain_xxz(L: int = 12, Jxy: float = 1.0, Jz: float = 1.0,
     ).sort_by_row()
 
 
+def _popcount(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of int64 arrays (numpy<2 has no bit_count)."""
+    a = a.astype(np.uint64).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(a, axis=1).sum(axis=1).astype(np.int64)
+
+
+def _sector_states(n_sites: int, n_fermions: int) -> np.ndarray:
+    """All n_sites-bit integers with exactly n_fermions set bits, ascending
+    (the lexicographic occupation-number basis of one spin species)."""
+    states = np.arange(1 << n_sites, dtype=np.int64)
+    return states[_popcount(states) == n_fermions]
+
+
+def _sector_hops(states: np.ndarray, n_sites: int, t: float, pbc: int):
+    """Single-species hopping matrix -t * sum_<ij> (c+_i c_j + h.c.) within
+    one occupation sector. Returns COO (src_idx, dst_idx, amp) over sector
+    basis indices, including both hop directions (the matrix is symmetric).
+
+    Fermionic sign: for a hop between sites a < b the Jordan-Wigner string
+    crosses the strictly-between bits, sign = (-1)^popcount(s & between).
+    Nearest-neighbor bonds have an empty string (+1); the periodic wrap bond
+    (0, n-1) crosses everything in between.
+    """
+    bonds = [(i, i + 1) for i in range(n_sites - 1)]
+    if pbc and n_sites > 2:
+        bonds.append((0, n_sites - 1))
+    I, J, V = [], [], []
+    for a, b in bonds:
+        ba, bb = np.int64(1 << a), np.int64(1 << b)
+        between = np.int64(((1 << b) - 1) ^ ((1 << (a + 1)) - 1))
+        # hop b -> a (occupied at b, empty at a); h.c. is generated by
+        # symmetry below
+        can = ((states & bb) != 0) & ((states & ba) == 0)
+        src = states[can]
+        if src.size == 0:
+            continue
+        dst = src ^ (ba | bb)
+        sign = 1.0 - 2.0 * (_popcount(src & between) & 1)
+        si = np.flatnonzero(can)
+        di = np.searchsorted(states, dst)
+        amp = -t * sign
+        I += [si, di]
+        J += [di, si]
+        V += [amp, amp]
+    if not I:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0)
+    return np.concatenate(I), np.concatenate(J), np.concatenate(V)
+
+
+def hubbard(n_sites: int = 10, n_fermions: int = 5, t: float = 1.0,
+            U: float = 0.0, ranpot: float = 0.0, seed: int = 1,
+            pbc: int = 0) -> MtxData:
+    """1-D fermionic Hubbard chain at fixed filling (n_fermions per spin):
+
+        H = -t sum_<ij>,s (c+_is c_js + h.c.) + U sum_i n_iu n_id
+            + sum_i eps_i (n_iu + n_id),  eps_i uniform in [-ranpot, ranpot]
+
+    Basis: |up> (x) |dn>, row = i_up * dim + i_dn, dim = C(n_sites,
+    n_fermions) per species — the structure ScaMaC's Hubbard generator
+    produces (reference bridge: utilities.hpp:1585-1752). Hops of one
+    species are block-structured (kron with identity on the other), the
+    interaction is diagonal.
+    """
+    if not (0 <= n_fermions <= n_sites):
+        raise ValueError("hubbard: need 0 <= n_fermions <= n_sites")
+    if n_sites > 20:
+        raise ValueError("hubbard: n_sites > 20 would exceed memory")
+    states = _sector_states(n_sites, n_fermions)
+    d = states.size
+    dim = d * d
+    hi, hj, hv = _sector_hops(states, n_sites, t, pbc)
+    est_nnz = dim + 2 * hi.size * d
+    if est_nnz > (1 << 28):
+        raise ValueError(
+            f"hubbard: n_sites={n_sites}, n_fermions={n_fermions} would "
+            f"generate ~{est_nnz} nonzeros; reduce the sector size"
+        )
+
+    # diagonal: U * (# doubly occupied sites) + random site potential
+    docc = _popcount((states[:, None] & states[None, :]).reshape(-1))
+    diag = U * docc.astype(np.float64)
+    if ranpot:
+        rng = np.random.default_rng(seed)
+        eps = rng.uniform(-ranpot, ranpot, n_sites)
+        pot1 = ((states[:, None] >> np.arange(n_sites)[None, :]) & 1) @ eps
+        diag = diag + (pot1[:, None] + pot1[None, :]).reshape(-1)
+    rows = np.arange(dim, dtype=np.int64)
+    I, J, V = [rows], [rows], [diag]
+
+    # up hops: kron(H_up, I_d) -> (su*d + k, du*d + k) for every k
+    k = np.arange(d, dtype=np.int64)
+    I.append((hi[:, None] * d + k[None, :]).reshape(-1))
+    J.append((hj[:, None] * d + k[None, :]).reshape(-1))
+    V.append(np.repeat(hv, d))
+    # down hops: kron(I_d, H_dn) -> (k*d + sd, k*d + dd)
+    I.append((k[:, None] * d + hi[None, :]).reshape(-1))
+    J.append((k[:, None] * d + hj[None, :]).reshape(-1))
+    V.append(np.tile(hv, d))
+    return MtxData.from_arrays(
+        np.concatenate(I), np.concatenate(J), np.concatenate(V),
+        n_rows=dim, n_cols=dim,
+    ).sort_by_row()
+
+
 _MODELS = {
     "anderson": lambda kw: anderson(
         Lx=int(kw.pop("lx", kw.pop("l", 8))), Ly=int(kw.pop("ly", 0)),
         Lz=int(kw.pop("lz", 0)), disorder=float(kw.pop("disorder", 16.5)),
         seed=int(kw.pop("seed", 1)), pbc=int(kw.pop("pbc", 0)), **kw,
+    ),
+    "hubbard": lambda kw: hubbard(
+        n_sites=int(kw.pop("n_sites", 10)),
+        n_fermions=int(kw.pop("n_fermions", 5)),
+        t=float(kw.pop("t", 1.0)), U=float(kw.pop("u", 0.0)),
+        ranpot=float(kw.pop("ranpot", 0.0)), seed=int(kw.pop("seed", 1)),
+        pbc=int(kw.pop("pbc", kw.pop("boundary_conditions", "open")
+                        in (1, "periodic"))), **kw,
     ),
     "spinchainxxz": lambda kw: spin_chain_xxz(
         L=int(kw.pop("l", 12)), Jxy=float(kw.pop("jxy", 1.0)),
