@@ -123,6 +123,11 @@ void stable_row_sort(MtxHandle* m) {
 
 USPMV_API const char* uspmv_last_error() { return g_error.c_str(); }
 
+// Bumped whenever an exported signature changes; the ctypes loader
+// refuses to bind a library whose version differs (a stale .so with the
+// old float* pack_fetch would corrupt memory silently).
+USPMV_API int64_t uspmv_abi_version() { return 2; }
+
 // Reads a MatrixMarket coordinate file. Returns a handle (or null on error;
 // see uspmv_last_error). Mirrors uspmv_tpu/io/mmio.py:read_mtx.
 USPMV_API MtxHandle* uspmv_read_mtx(const char* path, int require_square) {
@@ -420,13 +425,13 @@ constexpr int64_t kMinSteps = 16;
 struct Tile {
   int32_t chunk = 0;
   int32_t w = 0;
-  std::vector<float> vals;      // 8*128
+  std::vector<double> vals;     // 8*128
   std::vector<int32_t> lane;    // 8*128 (indexed by slot j)
   std::vector<int32_t> sub;     // 8*128 (indexed by source lane l)
   std::vector<uint8_t> sub_set; // 8*128
   std::vector<uint8_t> occ;     // 8*128 (spill tiles only)
   bool used = false;
-  Tile() : vals(kChunkRows, 0.f), lane(kChunkRows, 0), sub(kChunkRows, 0),
+  Tile() : vals(kChunkRows, 0.0), lane(kChunkRows, 0), sub(kChunkRows, 0),
            sub_set(kChunkRows, 0), occ(kChunkRows, 0) {}
 };
 
@@ -435,7 +440,7 @@ struct PackHandle {
   int64_t tps = 0;
   int64_t cpg = kChunksPerGroup;
   int64_t n_spilled = 0;
-  std::vector<float> vals;       // [nt, 8, 128]
+  std::vector<double> vals;      // [nt, 8, 128]
   std::vector<int32_t> src_tab;  // [nt, 8, 128]
   std::vector<int32_t> w_row;    // [nt]
   std::vector<int32_t> tile_chunk;  // [nt]
@@ -560,7 +565,7 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
             }
             t.sub[skey] = s;
             t.sub_set[skey] = 1;
-            t.vals[i * kLanes + j] = (float)val;
+            t.vals[i * kLanes + j] = val;
             t.lane[i * kLanes + j] = l;
             t.used = true;
           }
@@ -585,7 +590,7 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
         const int32_t s = (int32_t)(off >> 7);
         const int64_t skey = (int64_t)sp.i * kLanes + l;
         if (t.sub_set[skey] && t.sub[skey] != s) continue;
-        t.vals[slot] = (float)sp.val;
+        t.vals[slot] = sp.val;
         t.lane[slot] = l;
         t.sub[skey] = s;
         t.sub_set[skey] = 1;
@@ -602,7 +607,7 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
         const int64_t off = (int64_t)sp.col - (int64_t)t.w * kLanes;
         const int32_t l = (int32_t)(off & (kLanes - 1));
         const int32_t s = (int32_t)(off >> 7);
-        t.vals[(int64_t)sp.i * kLanes + sp.j] = (float)sp.val;
+        t.vals[(int64_t)sp.i * kLanes + sp.j] = sp.val;
         t.lane[(int64_t)sp.i * kLanes + sp.j] = l;
         t.sub[(int64_t)sp.i * kLanes + l] = s;
         t.sub_set[(int64_t)sp.i * kLanes + l] = 1;
@@ -663,7 +668,7 @@ USPMV_API PackHandle* uspmv_pack_lane_tiles(
     nt += std::max((cnt + tps - 1) / tps, (int64_t)1) * tps;
   }
   h->nt = nt;
-  h->vals.assign(nt * kChunkRows, 0.f);
+  h->vals.assign(nt * kChunkRows, 0.0);
   h->src_tab.assign(nt * kChunkRows, 0);
   h->w_row.assign(nt, 0);
   h->tile_chunk.assign(nt, 0);
@@ -703,10 +708,10 @@ USPMV_API void uspmv_pack_sizes(const PackHandle* h, int64_t* nt,
   *n_spilled = h->n_spilled;
 }
 
-USPMV_API void uspmv_pack_fetch(const PackHandle* h, float* vals,
+USPMV_API void uspmv_pack_fetch(const PackHandle* h, double* vals,
                                 int32_t* src_tab, int32_t* w_row,
                                 int32_t* tile_chunk) {
-  memcpy(vals, h->vals.data(), h->vals.size() * 4);
+  memcpy(vals, h->vals.data(), h->vals.size() * 8);
   memcpy(src_tab, h->src_tab.data(), h->src_tab.size() * 4);
   memcpy(w_row, h->w_row.data(), h->w_row.size() * 4);
   memcpy(tile_chunk, h->tile_chunk.data(), h->tile_chunk.size() * 4);

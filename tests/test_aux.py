@@ -190,6 +190,23 @@ def test_interface_accepts_scipy_and_dense():
     )
 
 
+def test_interface_device_resident_reuse():
+    # upload once, iterate on device, download once — must equal the
+    # host-roundtrip path exactly
+    import uspmv_tpu.interface as ui
+
+    rng = np.random.default_rng(4)
+    mtx = laplace2d(12)
+    h = ui.prepare(mtx, C=4, sigma=8, value_type="dp", backend="cpu")
+    x = rng.standard_normal(mtx.n_rows)
+    xd = ui.upload_x(h, x)
+    for _ in range(3):
+        xd = ui.execute_uspmv(h, xd, device_resident=True)
+    y_dev = ui.download_y(h, xd)
+    y_host = ui.execute_uspmv(h, x, n_repetitions=3)
+    np.testing.assert_array_equal(y_dev, y_host)
+
+
 def test_interface_reference_host_kernel():
     import uspmv_tpu.interface as ui
     from uspmv_tpu.formats.scs import convert_to_scs

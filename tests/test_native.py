@@ -185,6 +185,34 @@ def test_pack_lane_tiles_parity(gen):
     _assert_tiles_equal(py, nat)
 
 
+@pytest.mark.parametrize("dtype", ["bfloat16", "float64"])
+def test_pack_lane_tiles_parity_low_and_high_precision(dtype):
+    """Native tile values travel as f64 and round ONCE to the target dtype;
+    bf16 must be bit-identical to the Python packer even on round-to-even
+    edge cases (values exactly between two bf16 grid points would double-
+    round differently via an f32 intermediate)."""
+    import jax.numpy as jnp
+
+    from uspmv_tpu.io.generators import laplace2d
+    from uspmv_tpu.ops.packer import CHUNK_ROWS, pack_lane_tiles
+
+    dt = jnp.bfloat16 if dtype == "bfloat16" else np.float64
+    mtx = laplace2d(40)
+    # plant values on bf16 rounding ties: 1 + (2k+1) * 2^-9 sits exactly
+    # between adjacent bf16 mantissa steps (bf16 has 7 mantissa bits)
+    rng = np.random.default_rng(5)
+    ties = 1.0 + (2 * rng.integers(0, 64, mtx.nnz) + 1) * 2.0**-9
+    mtx.values[:] = ties * np.sign(mtx.values)
+    scs = convert_to_scs(mtx, CHUNK_ROWS, 1)
+    py = pack_lane_tiles(scs, dtype=dt, native=False)
+    nat = pack_lane_tiles(scs, dtype=dt, native=True)
+    assert nat.vals.dtype == py.vals.dtype
+    np.testing.assert_array_equal(
+        py.vals.view(np.uint16 if dtype == "bfloat16" else np.uint64),
+        nat.vals.view(np.uint16 if dtype == "bfloat16" else np.uint64),
+    )
+
+
 def test_pack_lane_tiles_parity_halo_xlen():
     """Distributed builds pack with a halo-extended x_len."""
     from uspmv_tpu.io.generators import laplace2d

@@ -19,6 +19,12 @@ Example:
     h = ui.prepare(mtx, C=1024, sigma=1, value_type="sp")
     y = ui.execute_uspmv(h, x)          # numpy in, numpy out
     y = ui.execute_uspmv(h, x, n_repetitions=50)   # repeated-SpMV solve
+
+    # solver embedding: keep x/y device-resident between calls
+    xd = ui.upload_x(h, x)
+    for _ in range(iters):
+        xd = ui.execute_uspmv(h, xd, device_resident=True)
+    y = ui.download_y(h, xd)
 """
 
 from __future__ import annotations
@@ -81,19 +87,47 @@ def prepare(
 
 def execute_uspmv(
     handle: SpmvOperator,
-    x: np.ndarray,
+    x,
     n_repetitions: int = 1,
-) -> np.ndarray:
+    device_resident: bool = False,
+):
     """y = A^n x through the prepared operator (reference execute_uspmv,
     interface.hpp:1871-2188; n_repetitions>1 = the repeated-SpMV solve loop
     with x<->y swap, main.cpp:528-607). Host numpy in/out, original row
-    order; permutation/padding/device transfer handled internally."""
-    xd = handle.make_x(np.asarray(x))
+    order; permutation/padding/device transfer handled internally.
+
+    Solver embedding (avoid per-call host<->device transfers): pass
+    ``device_resident=True`` and a device vector from :func:`upload_x` —
+    the result stays on device in the operator's layout, ready to feed the
+    next call. Round-trip back with :func:`download_y`. (The CG example in
+    examples/cg_solver.py goes one step further and jits the whole solver
+    around ``handle.build_spmv_closure()``.)
+    """
+    xd = x if _is_device_vector(x) else handle.make_x(np.asarray(x))
     if n_repetitions <= 1:
         yd = handle.spmv(xd)
     else:
         _, yd = handle.solve(xd, n_repetitions)
+    if device_resident:
+        return yd
     return handle.to_host(np.asarray(yd))
+
+
+def _is_device_vector(x) -> bool:
+    import jax
+
+    return isinstance(x, jax.Array)
+
+
+def upload_x(handle: SpmvOperator, x: np.ndarray):
+    """Permute/pad/upload a host vector once; the returned device vector
+    can be passed to execute_uspmv repeatedly (no re-upload per call)."""
+    return handle.make_x(np.asarray(x))
+
+
+def download_y(handle: SpmvOperator, y) -> np.ndarray:
+    """Bring a device-resident result back to host order."""
+    return handle.to_host(np.asarray(y))
 
 
 def spmv_reference_host(scs: ScsData, x: np.ndarray) -> np.ndarray:

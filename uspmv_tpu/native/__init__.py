@@ -50,7 +50,20 @@ def _try_build() -> bool:
         return False
 
 
+_ABI_VERSION = 2  # must match uspmv_abi_version() in native/uspmv_host.cpp
+
+
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    try:
+        lib.uspmv_abi_version.restype = _i64
+        version = int(lib.uspmv_abi_version())
+    except AttributeError:
+        version = 0  # pre-versioning library
+    if version != _ABI_VERSION:
+        raise OSError(
+            f"native library ABI version {version} != expected "
+            f"{_ABI_VERSION}; rebuild native/ (make -C native)"
+        )
     lib.uspmv_last_error.restype = ctypes.c_char_p
     lib.uspmv_read_mtx.restype = ctypes.c_void_p
     lib.uspmv_read_mtx.argtypes = [ctypes.c_char_p, ctypes.c_int]
@@ -66,14 +79,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_void_p, _i32p, _i32p, _i32p, _f64p, _i32p, _i32p, _i32p,
     ]
     lib.uspmv_scs_free.argtypes = [ctypes.c_void_p]
-    _f32p = ctypes.POINTER(ctypes.c_float)
     lib.uspmv_pack_lane_tiles.restype = ctypes.c_void_p
     lib.uspmv_pack_lane_tiles.argtypes = [
         _i64, _i64, _i32p, _i32p, _i32p, _f64p, _i32p, _i64, _i64, _i64,
         _i64,
     ]
     lib.uspmv_pack_sizes.argtypes = [ctypes.c_void_p, _i64p, _i64p, _i64p, _i64p]
-    lib.uspmv_pack_fetch.argtypes = [ctypes.c_void_p, _f32p, _i32p, _i32p, _i32p]
+    lib.uspmv_pack_fetch.argtypes = [ctypes.c_void_p, _f64p, _i32p, _i32p, _i32p]
     lib.uspmv_pack_free.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -89,7 +101,10 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _load_failed:
             return _lib
         path = os.path.join(_HERE, _LIB_NAME)
-        if not os.path.exists(path) and not _try_build():
+        # always run make when the source tree is present: it is a cheap
+        # no-op when up to date and rebuilds a stale .so after source or
+        # ABI changes (the ABI check in _bind is the backstop)
+        if not _try_build() and not os.path.exists(path):
             _load_failed = True
             return None
         try:
@@ -230,14 +245,13 @@ def pack_lane_tiles_native(scs, dtype, tiles_per_step=None,
                            chunks_per_group=None, x_len=None,
                            window_rows=8):
     """Native lane-tile packing -> ops.packer.LaneTiles, or None if the lib
-    is unavailable or the value dtype needs more than f32 precision (f64
-    packing falls back to Python)."""
+    is unavailable. Tile values travel as f64 through the library and are
+    rounded ONCE to the target dtype here — bit-identical to the Python
+    packer for every dtype (f32, bf16, f64 alike)."""
     lib = load()
     if lib is None:
         return None
     dtype = np.dtype(dtype)
-    if dtype.itemsize > 4:
-        return None  # float64 tiles: python path keeps full precision
     from ..ops.packer import CHUNK_ROWS, LANES, TILE_J, LaneTiles
 
     if scs.C != CHUNK_ROWS:
@@ -274,18 +288,18 @@ def pack_lane_tiles_native(scs, dtype, tiles_per_step=None,
             h, ctypes.byref(nt), ctypes.byref(tps), ctypes.byref(cpg),
             ctypes.byref(nsp),
         )
-        tvals = np.empty((nt.value, TILE_J, LANES), dtype=np.float32)
+        tvals = np.empty((nt.value, TILE_J, LANES), dtype=np.float64)
         src = np.empty((nt.value, TILE_J, LANES), dtype=np.int32)
         w_row = np.empty(nt.value, dtype=np.int32)
         tchunk = np.empty(nt.value, dtype=np.int32)
         lib.uspmv_pack_fetch(
-            h, tvals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h, tvals.ctypes.data_as(_f64p),
             _ptr_i32(src), _ptr_i32(w_row), _ptr_i32(tchunk),
         )
     finally:
         lib.uspmv_pack_free(h)
     return LaneTiles(
-        vals=tvals.astype(dtype) if dtype != np.float32 else tvals,
+        vals=tvals.astype(dtype) if dtype != np.float64 else tvals,
         src_tab=src,
         w_row=w_row,
         tile_chunk=tchunk,

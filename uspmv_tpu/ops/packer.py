@@ -132,9 +132,9 @@ def pack_lane_tiles(
     (defaults to n_rows_padded; the distributed path passes the halo-extended
     buffer length so windows may reach into the halo region).
 
-    ``native``: None = use the C++ packer when available (bit-identical for
-    f32; 2-byte dtypes go f64->f32->target, a double rounding the Python
-    path doesn't do), True = require it, False = pure Python."""
+    ``native``: None = use the C++ packer when available (bit-identical to
+    this Python path for every dtype — values travel as f64 and are rounded
+    once to the target), True = require it, False = pure Python."""
     if scs.C != CHUNK_ROWS:
         raise ValueError(
             f"lane-tile packing requires C={CHUNK_ROWS}, got C={scs.C}"

@@ -50,6 +50,13 @@ from .packer import (
 )
 
 
+class LaneTileBudgetError(ValueError):
+    """The matrix exceeds a lane-tile hardware budget (SMEM meta words or
+    the VMEM x-window footprint). Callers catch THIS — not bare ValueError,
+    which would also swallow genuine programming errors — and fall back to
+    the XLA path with a warning."""
+
+
 def pallas_supported() -> bool:
     """True if the compiled Mosaic path is usable (TPU default device)."""
     try:
@@ -167,7 +174,7 @@ def build_device_lane_tiles(
         # spill tiles can balloon past any pre-pack estimate on matrices
         # with no gather locality (random columns); the meta word is an
         # SMEM operand, so refuse and let the caller fall back to XLA
-        raise ValueError(
+        raise LaneTileBudgetError(
             f"packed tile count {lt.n_tiles} exceeds the SMEM meta budget "
             f"({MAX_META_TILES}); this matrix has too little column "
             "locality for the lane-tile kernel"
@@ -184,6 +191,11 @@ def build_device_lane_tiles(
     x_rows = max((int(x_len) + LANES - 1) // LANES, lt.window_rows)
     if x_window is None:
         x_window = not lane_tiles_fit(x_rows * LANES, block_vec_size)
+    if x_window:
+        # window DMA bases are sublane-aligned and blocks are 8-row
+        # multiples; align the padded x extent too so [base, base+XB)
+        # can never read past the buffer spmv_lane_tiles pads to
+        x_rows = ((x_rows + 7) // 8) * 8
     w_abs = lt.w_row.astype(np.int64)
     gxb = np.zeros(lt.n_groups, dtype=np.int32)
     x_block_rows = 0
@@ -204,13 +216,13 @@ def build_device_lane_tiles(
                 base[g] = w_abs[sel].min() & ~7  # sublane-align the base
                 top[g] = w_abs[sel].max() + wr
         foot = int(np.max(top - base)) if lt.n_groups else TILE_J
-        x_block_rows = min(((foot + 7) // 8) * 8, ((x_rows + 7) // 8) * 8)
+        x_block_rows = min(((foot + 7) // 8) * 8, x_rows)
         base = np.minimum(base, max(x_rows - x_block_rows, 0)) & ~7
         if (
             x_block_rows * LANES * 4 * max(block_vec_size, 1) * 2
             > X_VMEM_BUDGET_BYTES
         ):
-            raise ValueError(
+            raise LaneTileBudgetError(
                 "x window footprint exceeds the VMEM budget "
                 f"({x_block_rows} rows x bs={block_vec_size})"
             )

@@ -337,9 +337,21 @@ class DistributedSpmvOperator:
 
         try:
             devs, devs_halo = _build_all(lane)
-        except ValueError:
+        except Exception as e:
+            from ..ops.pallas_scs import LaneTileBudgetError
+
+            if not isinstance(e, LaneTileBudgetError):
+                raise
             # lane-tile SMEM/VMEM budgets exceeded (e.g. spill blow-up on
-            # gather-hostile matrices): fall back to the XLA path
+            # gather-hostile matrices): fall back to the XLA path, loudly —
+            # a silent downgrade would read as a perf regression
+            import warnings
+
+            warnings.warn(
+                f"lane-tile kernel unavailable ({e}); falling back to the "
+                "XLA SpMV path (expect lower throughput)",
+                stacklevel=2,
+            )
             devs, devs_halo = _build_all(False)
 
         devices = _mesh_devices(config, R)
@@ -597,6 +609,25 @@ class DistributedSpmvOperator:
                     "padded": self.R * self.n_rows_padded * (self.R - 1),
                     "per_shard": [self.n_rows_padded * (self.R - 1)] * self.R,
                 }
+        return out
+
+    def impl_name(self) -> str:
+        from ..ops.pallas_scs import DeviceLaneTiles
+
+        if any(isinstance(d, DeviceLaneTiles) for d in self.devs.values()):
+            return "pallas-lane-tiles"
+        if self.config.kernel_format == "crs":
+            return "xla-flat-crs"
+        return "xla-tiled-scs"
+
+    def per_shard_nnz(self) -> list:
+        """Useful nonzeros per shard (per-shard gflops in the bench block,
+        reference per-rank perf gather, main.cpp:833-890)."""
+        R = self.R
+        out = [0] * R
+        for lst in self.scs.values():
+            for r, s in enumerate(lst):
+                out[r] += s.nnz
         return out
 
     def beta(self):

@@ -38,11 +38,15 @@ def _seg_nnz(mtx: MtxData, n_shards: int) -> np.ndarray:
     inner = np.searchsorted(cum, targets, side="left")
     ws = np.concatenate(([0], inner, [mtx.n_rows])).astype(np.int64)
     # guard against empty shards (reference guards the empty last rank,
-    # mpi_funcs.hpp:602-606)
+    # mpi_funcs.hpp:602-606). Two passes: force strict increase forward,
+    # then clamp backward so every LATER shard can still get >= 1 row
+    # (nnz concentrated in the last rows would otherwise push an inner
+    # boundary to n_rows and leave trailing shards empty).
     for r in range(1, n_shards + 1):
-        if ws[r] <= ws[r - 1]:
-            ws[r] = min(ws[r - 1] + 1, mtx.n_rows)
-    ws[-1] = mtx.n_rows
+        ws[r] = max(ws[r], ws[r - 1] + 1)
+    for r in range(n_shards, -1, -1):
+        ws[r] = min(ws[r], mtx.n_rows - (n_shards - r))
+    ws[0] = 0
     return ws
 
 
@@ -75,6 +79,11 @@ def seg_work_sharing(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if mtx.n_rows < n_shards:
+        raise ValueError(
+            f"cannot partition {mtx.n_rows} rows over {n_shards} shards "
+            "(every shard needs at least one row); reduce n_shards"
+        )
     if method == "seg-rows":
         return _seg_rows(mtx.n_rows, n_shards), None
     if method == "seg-nnz":

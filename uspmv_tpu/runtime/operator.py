@@ -256,8 +256,19 @@ class SpmvOperator:
                     )
                     for p, s in scs.items()
                 }
-            except ValueError:
-                devs = None  # window footprint too wide: XLA fallback
+            except Exception as e:
+                from ..ops.pallas_scs import LaneTileBudgetError
+
+                if not isinstance(e, LaneTileBudgetError):
+                    raise
+                import warnings
+
+                warnings.warn(
+                    f"lane-tile kernel unavailable ({e}); falling back to "
+                    "the XLA SpMV path (expect lower throughput)",
+                    stacklevel=2,
+                )
+                devs = None
         if devs is None:
             devs = {
                 p: build_device_scs(
@@ -402,6 +413,20 @@ class SpmvOperator:
 
     def comm_volume_per_spmv(self) -> dict:
         return {}
+
+    def impl_name(self) -> str:
+        """Which kernel implementation executes (printed in the bench block
+        so a user can see e.g. that dp landed on the CPU/XLA path)."""
+        from ..ops.pallas_scs import DeviceLaneTiles
+
+        if any(isinstance(d, DeviceLaneTiles) for d in self.devs.values()):
+            return "pallas-lane-tiles"
+        if self.config.kernel_format == "crs":
+            return "xla-flat-crs"
+        return "xla-tiled-scs"
+
+    def per_shard_nnz(self):
+        return None
 
     def dump_sparsity(self, outdir: str) -> list:
         """OUTPUT_SPARSITY analogue (reference main.cpp:1225-1254): dump each

@@ -33,9 +33,16 @@ def format_bench_block(cfg: Config, res: BenchResult) -> str:
         f"format: {res.kernel_format} C={res.C} sigma={res.sigma} "
         f"value_type={res.value_type} block_vec_size={res.block_vec_size} "
         f"layout={cfg.vector_layout}",
-        f"platform: {res.platform}  n_rows: {res.n_rows}  nnz: {res.nnz}",
+        f"platform: {res.platform}  impl: {res.impl or '?'}  "
+        f"n_rows: {res.n_rows}  nnz: {res.nnz}",
         f"n_iterations: {res.n_iterations}  kernel_time: "
-        f"{res.duration_kernel_s:.4f} s",
+        f"{res.duration_kernel_s:.4f} s"
+        + (
+            f" (median of {len(res.timing_samples_s)}: "
+            + ", ".join(f"{s:.4f}" for s in res.timing_samples_s) + ")"
+            if res.timing_samples_s and len(res.timing_samples_s) > 1
+            else ""
+        ),
         f"perf: {res.perf_gflops:.3f} GFLOP/s   effective bw: "
         f"{res.effective_gbps:.2f} GB/s",
         f"memory footprint: {res.memory_footprint_bytes / 1e6:.2f} MB",
@@ -48,6 +55,23 @@ def format_bench_block(cfg: Config, res: BenchResult) -> str:
         )
     if res.comm_volume_elems:
         lines.append(f"comm volume: {res.comm_volume_elems} halo elems/SpMV")
+    if cfg.comm_mode in ("singlevec", "multivec"):
+        lines.append(
+            f"note: comm_mode={cfg.comm_mode} — under XLA's async execution "
+            "the reference's message-batching modes (MPI_MODE, "
+            "Makefile:199-218) collapse to one exchange schedule; the only "
+            "behavioral split here is per-vector (colwise vmap) vs bulk "
+            "(rowwise fused) exchange"
+        )
+    if res.per_shard and (cfg.verbose or cfg.print_comm_vol):
+        # reference -verbose/-print_comm_vol per-rank block
+        # (main.cpp:833-890, write_results.hpp:141-154)
+        for s in res.per_shard:
+            lines.append(
+                f"  shard {s['shard']}: nnz={s['nnz']} "
+                f"gflops={s['gflops']:.3f} "
+                f"halo_elems_recv={s['halo_elems_recv']}"
+            )
     lines.append("")
     return "\n".join(lines)
 

@@ -83,14 +83,16 @@ def compare(
     max_robust = float(robust_rel.max()) if robust_rel.size else 0.0
     # The reference's 1e-2/1e-4 per-element thresholds were designed for
     # dp/sp vs MKL (its campaign never validates half precision,
-    # validate.sh). Pure-hp results are dominated by bf16 value quantization
-    # on near-cancelling elements, so hp is flagged on the relative L2 norm
-    # instead, scaled from bf16 eps (2^-8) per repetition.
+    # validate.sh). Results whose LOWEST precision is bf16 — pure hp and
+    # the ap[..._hp] mixes — are dominated by bf16 value quantization on
+    # near-cancelling elements, so those are flagged on the relative L2
+    # norm instead, scaled from bf16 eps (2^-8) per repetition (bound
+    # documented in docs/API.md §validation).
     if not np.isfinite(y_ours).all():
         # a NaN/Inf result must never validate (e.g. f64 silently computed
         # as f32 on an accelerator and overflowing)
         flag = "ERROR"
-    elif value_type == "hp":
+    elif "hp" in value_type:
         # bf16 value quantization ~2^-8 relative per apply; error compounds
         # roughly with sqrt(n_repetitions) for independent roundings
         warn = 4e-3 * float(np.sqrt(max(n_repetitions, 1)))
