@@ -106,6 +106,66 @@ def test_scamac_spec_parsing():
         generate_matrix("NoSuchModel,x=1")
 
 
+# ------------------------------------- SuiteSparse-structure generators
+
+
+def test_fem_tet3d_structure():
+    # Queen_4147-class structure at toy size: 20-80 nnz/row, symmetric,
+    # diagonally dominant, clustered bandwidth
+    from uspmv_tpu.io.generators import fem_tet3d
+
+    m = fem_tet3d(12)
+    assert m.n_rows == 12**3 * 3
+    c = np.bincount(m.I, minlength=m.n_rows)
+    assert 20 <= np.median(c) <= 80
+    A = m.to_scipy().tocsr()
+    assert abs(A - A.T).nnz == 0
+    d = np.abs(A.diagonal())
+    off = np.asarray(np.abs(A).sum(axis=1)).ravel() - d
+    assert np.all(d >= off)  # CG-friendly
+    # bandwidth is clustered, not global: median |i-j| well under n
+    bw = np.abs(m.I - m.J)
+    assert np.median(bw[bw > 0]) < m.n_rows // 8
+
+
+def test_stokes_saddle_structure():
+    from uspmv_tpu.io.generators import stokes_saddle
+
+    nx = 8
+    m = stokes_saddle(nx)
+    n = nx**3
+    assert m.n_rows == 4 * n
+    S = (m.to_scipy().tocsr() != 0).astype(np.int8)
+    assert abs(S - S.T).nnz == 0  # structurally symmetric
+    c = np.bincount(m.I, minlength=m.n_rows)
+    vel, pres = c[: 3 * n], c[3 * n:]
+    # mixed row-length profile: velocity rows are denser than pressure rows
+    assert np.median(vel) > np.median(pres)
+
+
+def test_fem_generator_solves_through_operator():
+    from uspmv_tpu.io.generators import fem_tet3d
+    from uspmv_tpu.config import Config
+    from uspmv_tpu.runtime.operator import SpmvOperator
+
+    m = fem_tet3d(6)
+    cfg = Config(kernel_format="scs", chunk_size=16, sigma=64,
+                 value_type="dp", backend="cpu")
+    op = SpmvOperator.from_mtx(cfg, m)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(m.n_rows)
+    y = op.to_host(np.asarray(op.spmv(op.make_x(x))))
+    ref = m.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_generator_specs_route():
+    m = generate_matrix("FemTet3D,5")
+    assert m.n_rows == 5**3 * 3
+    m2 = generate_matrix("StokesSaddle,5")
+    assert m2.n_rows == 4 * 5**3
+
+
 # ------------------------------------------------------------------ sanity
 
 

@@ -31,6 +31,57 @@ def test_solve_mode_validates(tmp_path, capsys):
     assert os.path.exists(tmp_path / "spmv_scipy_compare_dp.txt")
 
 
+def test_bcoo_impl_solve_validates(tmp_path, capsys):
+    # the independent jax.experimental.sparse baseline must validate
+    # through the same solve harness as our kernels
+    rc = run_cli(
+        tmp_path, matrix_path("impcol_e.mtx"), "crs", "-mode", "s",
+        "-rev", "3", "-impl", "bcoo",
+    )
+    assert rc == 0
+    assert "[OK]" in capsys.readouterr().out
+
+
+def test_bcoo_impl_bench_reports_its_own_name(tmp_path, capsys):
+    rc = run_cli(
+        tmp_path, matrix_path("bcsstk13.mtx"), "scs", "-c", "16",
+        "-s", "512", "-mode", "b", "-bench_time", "0.05", "-impl", "bcoo",
+        "-sp",
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "impl: jax-bcoo" in out
+
+
+def test_bcoo_matches_scipy_directly():
+    from uspmv_tpu.ops.spmv_bcoo import BcooSpmvOperator
+
+    mtx = read_mtx(matrix_path("bcsstk13.mtx"))
+    cfg = Config(kernel_format="crs", value_type="dp", backend="cpu",
+                 impl="bcoo")
+    op = BcooSpmvOperator.from_mtx(cfg, mtx)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(mtx.n_rows)
+    y = op.to_host(np.asarray(op.spmv(op.make_x(x))))
+    ref = mtx.to_scipy().tocsr() @ x
+    np.testing.assert_allclose(y, ref, rtol=1e-12)
+
+
+def test_bcoo_rejects_shards_and_ap():
+    from uspmv_tpu.ops.spmv_bcoo import BcooSpmvOperator
+
+    mtx = read_mtx(matrix_path("impcol_e.mtx"))
+    with pytest.raises(ValueError, match="single-device"):
+        BcooSpmvOperator.from_mtx(
+            Config(value_type="dp", n_shards=2, impl="bcoo"), mtx
+        )
+    with pytest.raises(ValueError, match="uniform precisions"):
+        BcooSpmvOperator.from_mtx(
+            Config(value_type="ap[dp_sp]", ap_threshold_1=1.0, impl="bcoo"),
+            mtx,
+        )
+
+
 def test_bench_mode_writes_reports(tmp_path, capsys):
     rc = run_cli(
         tmp_path,
@@ -126,9 +177,15 @@ def test_bench_harness_doubling():
     op = SpmvOperator.from_mtx(cfg, mtx)
     res = bench_spmv(op, warmup=3, start_iters=2)
     assert res.n_iterations >= 2
-    assert res.duration_kernel_s >= 0.05
+    # the doubling loop stops when a batch reaches bench_time; the reported
+    # duration is the MEDIAN of timing_reps re-runs of that final batch
+    # (axon variance), so only the first sample is guaranteed >= bench_time
+    assert res.timing_samples_s[0] >= 0.05
+    assert len(res.timing_samples_s) == 3
+    assert res.duration_kernel_s == float(np.median(res.timing_samples_s))
     assert res.perf_gflops > 0
     assert res.platform == "cpu"
+    assert res.impl == "xla-tiled-scs"
 
 
 def test_cli_parser_reference_flags():

@@ -31,7 +31,9 @@ Mirrors the reference binary's CLI (parse_cli_inputs, utilities.hpp:
     -matrix_stats        print matrix statistics and exit
     -output_sparsity     dump per-precision SCS .mtx and exit
     -backend auto|cpu|tpu
-    -impl auto|xla       kernel implementation (auto = pallas on TPU)
+    -impl auto|xla|bcoo  kernel implementation (auto = pallas on TPU;
+                         bcoo = independent jax.experimental.sparse
+                         baseline, the cuSPARSE-comparison analogue)
     -mtx_out DIR         report/output directory        [.]
 """
 
@@ -104,7 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-matrix_stats", action="store_true")
     p.add_argument("-output_sparsity", action="store_true")
     p.add_argument("-backend", choices=["auto", "cpu", "tpu"], default="auto")
-    p.add_argument("-impl", choices=["auto", "xla"], default="auto")
+    p.add_argument(
+        "-impl", choices=["auto", "xla", "bcoo"], default="auto",
+        help="auto = our kernels (Pallas on TPU); xla = force the XLA "
+        "path; bcoo = independent jax.experimental.sparse baseline "
+        "(cuSPARSE-comparison analogue)",
+    )
     p.add_argument("-debug", type=int, choices=[0, 1], default=0,
                    help="DEBUG_MODE_FINE analogue: stage dumps + checks")
     p.add_argument("-log_prof", default=None, metavar="LOGDIR",
@@ -156,6 +163,7 @@ def config_from_args(args) -> Config:
         n_shards=args.n_shards,
         backend=args.backend,
         use_pallas=(args.impl == "auto"),
+        impl=args.impl,
         output_dir=args.output_dir,
         matrix_file_name=args.matrix,
         seed=args.seed,
@@ -222,7 +230,11 @@ def main(argv=None) -> int:
     )
     from .runtime.validate import validate_solve
 
-    if cfg.n_shards > 1:
+    if cfg.impl == "bcoo":
+        from .ops.spmv_bcoo import BcooSpmvOperator
+
+        op = BcooSpmvOperator.from_mtx(cfg, mtx)
+    elif cfg.n_shards > 1:
         from .parallel.distributed import DistributedSpmvOperator
 
         op = DistributedSpmvOperator.from_mtx(cfg, mtx)

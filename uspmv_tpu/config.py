@@ -114,6 +114,10 @@ class Config:
     # --- device execution ---
     backend: str = "auto"  # 'auto' | 'tpu' | 'cpu'
     use_pallas: bool = True  # Pallas kernels when available, else XLA path
+    # 'auto' = our kernels (Pallas when applicable, else XLA); 'xla' forces
+    # the XLA path; 'bcoo' runs the INDEPENDENT jax.experimental.sparse
+    # baseline (the cuSPARSE-comparison analogue, utilities.hpp:3380-3550)
+    impl: str = "auto"
     tile_elems: int = 1024  # elements per device tile (8x128)
 
     # --- reporting (reference: output_filename_*) ---
@@ -147,6 +151,8 @@ class Config:
             raise ValueError(f"seg_method must be one of {SEG_METHODS}")
         if self.comm_mode not in COMM_MODES:
             raise ValueError(f"comm_mode must be one of {COMM_MODES}")
+        if self.impl not in ("auto", "xla", "bcoo"):
+            raise ValueError("impl must be one of ('auto', 'xla', 'bcoo')")
         if self.block_vec_size < 1:
             raise ValueError("block_vec_size must be >= 1")
         if self.value_type in AP_VALUE_TYPES:

@@ -131,6 +131,148 @@ def banded_imbalanced(
     ).sort_by_row()
 
 
+def fem_tet3d(nx: int, dofs: int = 3, keep: float = 0.7,
+              seed: int = 7) -> MtxData:
+    """Unstructured-FEM stiffness-matrix structure (SuiteSparse
+    Queen_4147 / af_shell class — the reference's intended benchmark set,
+    scripts/check_perf.sh:31-35): a jittered 3-D node grid where each node
+    couples to a random ~``keep`` fraction of its 26 spatial neighbors
+    (symmetrically), then every node expands to a ``dofs``-wide dense
+    block — the classic node-graph x dense-block FEM pattern. Row lengths
+    land in the 20-80 nnz/row range with clustered (but not constant)
+    bandwidth; values are symmetric and diagonally dominant so solve-mode
+    validation is well-conditioned.
+
+    nx=55, dofs=3 -> ~500k rows, ~28M nnz (Queen-class density).
+    """
+    n_nodes = nx ** 3
+    rng = np.random.default_rng(seed)
+    idx = np.arange(n_nodes, dtype=np.int64)
+    ix = idx % nx
+    iy = (idx // nx) % nx
+    iz = idx // (nx * nx)
+
+    # symmetric node graph: iterate lexicographically-positive offsets only
+    # and mirror, so (i, j) present <=> (j, i) present
+    offsets = [
+        (dx, dy, dz)
+        for dz in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dz, dy, dx) > (0, 0, 0)
+    ]
+    I, J = [idx], [idx]
+    for dx, dy, dz in offsets:
+        m = np.ones(n_nodes, dtype=bool)
+        if dx:
+            m &= (ix + dx >= 0) & (ix + dx < nx)
+        if dy:
+            m &= (iy + dy >= 0) & (iy + dy < nx)
+        if dz:
+            m &= (iz + dz >= 0) & (iz + dz < nx)
+        m &= rng.random(n_nodes) < keep
+        src = idx[m]
+        dst = src + dx + dy * nx + dz * nx * nx
+        I += [src, dst]
+        J += [dst, src]
+    I = np.concatenate(I)
+    J = np.concatenate(J)
+
+    # dofs-wide dense block expansion: node edge (a, b) -> all (a*d+p, b*d+q)
+    d = int(dofs)
+    p = np.arange(d, dtype=np.int64)
+    bi = np.repeat(p, d)  # [d*d] row offset
+    bj = np.tile(p, d)  # [d*d] col offset
+    bI = (I[:, None] * d + bi[None, :]).reshape(-1)
+    bJ = (J[:, None] * d + bj[None, :]).reshape(-1)
+    # symmetric values: hash the UNORDERED dof-pair key so (i,j) and (j,i)
+    # get the same entry
+    lo = np.minimum(bI, bJ)
+    hi = np.maximum(bI, bJ)
+    key = (lo * (n_nodes * d) + hi).astype(np.uint64)
+    key ^= key >> 33
+    key *= np.uint64(0xFF51AFD7ED558CCD)
+    key ^= key >> 33
+    vals = -(key.astype(np.float64) / 2.0**64) - 0.05  # in (-1.05, -0.05)
+    diag = bI == bJ
+    m = MtxData.from_arrays(
+        bI[~diag], bJ[~diag], vals[~diag],
+        n_rows=n_nodes * d, n_cols=n_nodes * d,
+    )
+    # diagonally dominant diagonal: sum of |off-diagonals| per row + 1
+    rowsum = np.bincount(m.I, weights=np.abs(m.values), minlength=n_nodes * d)
+    dI = np.arange(n_nodes * d, dtype=np.int64)
+    return MtxData.from_arrays(
+        np.concatenate([m.I, dI]), np.concatenate([m.J, dI]),
+        np.concatenate([m.values, rowsum + 1.0]),
+        n_rows=n_nodes * d, n_cols=n_nodes * d,
+    ).sort_by_row()
+
+
+def stokes_saddle(nx: int, eps: float = 1e-3, seed: int = 7) -> MtxData:
+    """Saddle-point structure (SuiteSparse vas_stokes / StocF class):
+
+        [ A   B ]   A: 3x3-dense-block 7-point operator on cell velocities
+        [ B^T -eps*I ]   B: velocity<->pressure gradient coupling
+
+    over an nx^3 cell grid — 4 unknowns per cell (u,v,w,p), velocity rows
+    ~24-27 nnz, pressure rows ~22, and the near-zero pressure block gives
+    the strongly-mixed row-length profile SELL-C-sigma's sigma-sorting was
+    built for. Unsymmetric in values (B vs B^T signs), symmetric pattern.
+
+    nx=64 -> ~1.05M rows, ~25M nnz (vas_stokes_1M-class).
+    """
+    n = nx ** 3
+    rng = np.random.default_rng(seed)
+    idx = np.arange(n, dtype=np.int64)
+    ix = idx % nx
+    iy = (idx // nx) % nx
+    iz = idx // (nx * nx)
+    nv = 3 * n  # velocity dofs, then pressures at [nv, nv + n)
+
+    stencil = [(0, 0, 0), (-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+               (0, 0, -1), (0, 0, 1)]
+    cI, cJ = [], []  # cell-graph edges incl. self
+    for dx, dy, dz in stencil:
+        m = np.ones(n, dtype=bool)
+        if dx:
+            m &= (ix + dx >= 0) & (ix + dx < nx)
+        if dy:
+            m &= (iy + dy >= 0) & (iy + dy < nx)
+        if dz:
+            m &= (iz + dz >= 0) & (iz + dz < nx)
+        cI.append(idx[m])
+        cJ.append(idx[m] + dx + dy * nx + dz * nx * nx)
+    cI = np.concatenate(cI)
+    cJ = np.concatenate(cJ)
+    ne = cI.size
+
+    # A: 3x3 dense blocks on the cell graph (velocity-velocity)
+    p3 = np.arange(3, dtype=np.int64)
+    aI = (cI[:, None] * 3 + np.repeat(p3, 3)[None, :]).reshape(-1)
+    aJ = (cJ[:, None] * 3 + np.tile(p3, 3)[None, :]).reshape(-1)
+    aV = rng.standard_normal(ne * 9) * 0.1
+    aV[aI == aJ] = 6.0  # dominant velocity diagonal
+
+    # B: velocity row (cell, component) <- pressure of the stencil cells
+    bI = (cI[:, None] * 3 + p3[None, :]).reshape(-1)
+    bJ = np.repeat(nv + cJ, 3)
+    bV = np.repeat(np.where(cI == cJ, 3.0, -0.5), 3)
+    # B^T: pressure row <- velocities (divergence), opposite sign
+    tI = np.repeat(nv + cI, 3)
+    tJ = (cJ[:, None] * 3 + p3[None, :]).reshape(-1)
+    tV = -np.repeat(np.where(cI == cJ, 3.0, -0.5), 3)
+
+    # pressure stabilization diagonal
+    pI = nv + idx
+    return MtxData.from_arrays(
+        np.concatenate([aI, bI, tI, pI]),
+        np.concatenate([aJ, bJ, tJ, pI]),
+        np.concatenate([aV, bV, tV, np.full(n, -eps)]),
+        n_rows=nv + n, n_cols=nv + n,
+    ).sort_by_row()
+
+
 def tridiag(n: int, diag: float = 2.0, off: float = -1.0) -> MtxData:
     idx = np.arange(n, dtype=np.int64)
     rows = np.concatenate([idx, idx[1:], idx[:-1]])
@@ -147,6 +289,8 @@ _GENERATORS = {
     "RandomBanded": random_banded,
     "RandomImbalanced": random_imbalanced,
     "BandedImbalanced": banded_imbalanced,
+    "FemTet3D": fem_tet3d,
+    "StokesSaddle": stokes_saddle,
     "Tridiag": tridiag,
 }
 

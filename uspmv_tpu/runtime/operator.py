@@ -64,6 +64,7 @@ def use_lane_tiles(config: Config) -> bool:
 
     return (
         config.use_pallas
+        and config.impl == "auto"
         and config.kernel_format == "scs"
         and config.chunk_size == CHUNK_ROWS
         and np.dtype(config.working_dtype()) != np.float64
