@@ -31,6 +31,8 @@ Mirrors the reference binary's CLI (parse_cli_inputs, utilities.hpp:
     -matrix_stats        print matrix statistics and exit
     -output_sparsity     dump per-precision SCS .mtx and exit
     -backend auto|cpu|tpu
+    -coordinator H:P     multi-host: jax.distributed coordinator address
+    -n_processes N, -process_id I, -local_devices D (CPU testing)
     -impl auto|xla|bcoo  kernel implementation (auto = pallas on TPU;
                          bcoo = independent jax.experimental.sparse
                          baseline, the cuSPARSE-comparison analogue)
@@ -117,6 +119,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-log_prof", default=None, metavar="LOGDIR",
                    help="capture a jax profiler trace of the bench loop to "
                         "LOGDIR (LIKWID marker analogue)")
+    # multi-host bootstrap (reference: mpirun + MPI_Init, main.cpp:1822-1826;
+    # on TPU pods jax auto-detects the cluster and none of these are needed)
+    p.add_argument("-coordinator", default=None, metavar="HOST:PORT",
+                   help="jax.distributed coordinator address "
+                        "(multi-host runs; process 0's host)")
+    p.add_argument("-n_processes", type=int, default=None)
+    p.add_argument("-process_id", type=int, default=None)
+    p.add_argument("-local_devices", type=int, default=None,
+                   help="force per-process CPU device count (testing)")
     p.add_argument("-mtx_out", default=".", dest="output_dir")
     p.add_argument("-seed", type=int, default=42)
     p.add_argument("-json", action="store_true", help="print result as JSON")
@@ -215,6 +226,22 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
     cfg.validate()
 
+    import os as _os
+
+    primary = True
+    if (args.coordinator or args.n_processes
+            or _os.environ.get("USPMV_COORDINATOR")):
+        from .parallel.multihost import initialize
+
+        info = initialize(
+            args.coordinator, args.n_processes, args.process_id,
+            local_devices=args.local_devices,
+            platform=(args.backend if args.backend != "auto" else None),
+        )
+        primary = info["process_id"] == 0
+        if cfg.verbose and primary:
+            print(f"[multihost] {info}")
+
     mtx = load_matrix(args.matrix)
     if args.matrix_stats:
         print(get_matrix_stats(mtx).summary())
@@ -254,11 +281,12 @@ def main(argv=None) -> int:
         with profiling.trace(args.log_prof, enabled=args.log_prof is not None):
             with profiling.marker(marker, enabled=args.log_prof is not None):
                 res = bench_spmv(op)
-        write_bench_to_file(cfg, res)
-        if args.json:
-            print(json.dumps(res.to_dict()))
-        else:
-            print(format_bench_block(cfg, res))
+        if primary:  # reference: rank 0 writes (main.cpp:1772-1800)
+            write_bench_to_file(cfg, res)
+            if args.json:
+                print(json.dumps(res.to_dict()))
+            else:
+                print(format_bench_block(cfg, res))
         return 0
 
     # solve mode
@@ -302,13 +330,15 @@ def main(argv=None) -> int:
             mtx_oracle, x0, np.asarray(y_host, dtype=np.float64),
             cfg.n_repetitions, value_type=cfg.value_type,
         )
-        write_result_to_file(cfg, rep, cfg.n_repetitions)
-        if args.json:
-            print(json.dumps({"validation": dataclass_dict(rep)}))
-        else:
-            print(format_result_block(cfg, rep, cfg.n_repetitions))
+        if primary:
+            write_result_to_file(cfg, rep, cfg.n_repetitions)
+            if args.json:
+                print(json.dumps({"validation": dataclass_dict(rep)}))
+            else:
+                print(format_result_block(cfg, rep, cfg.n_repetitions))
         return 0 if rep.ok else 1
-    print("solve completed (validation disabled)")
+    if primary:
+        print("solve completed (validation disabled)")
     return 0
 
 

@@ -563,7 +563,11 @@ class DistributedSpmvOperator:
         return jax.device_put(out, NamedSharding(self.mesh, spec))
 
     def to_host(self, y) -> np.ndarray:
-        y = np.asarray(y)
+        from .multihost import fetch_global
+
+        # multi-host: shards owned by other processes are gathered first
+        # (reference MPI_Gatherv, main.cpp:968-990)
+        y = fetch_global(y)
         bs = self.config.block_vec_size
         if bs > 1 and self.config.vector_layout == "colwise":
             y = np.moveaxis(y, 0, -1)  # [R, n_loc, bs]
@@ -609,6 +613,21 @@ class DistributedSpmvOperator:
                     "padded": self.R * self.n_rows_padded * (self.R - 1),
                     "per_shard": [self.n_rows_padded * (self.R - 1)] * self.R,
                 }
+        return out
+
+    def comm_volume_per_host(self) -> dict:
+        """Halo elements received per HOST per SpMV — the DCN-traffic
+        proxy on pod slices (reference per-rank -print_comm_vol rolled up
+        to hosts; write_results.hpp:141-154). Keys are process indices."""
+        procs = [d.process_index for d in self.mesh.devices.flat]
+        out: Dict[str, dict] = {}
+        for p, hp in self.halo_plans.items():
+            if hp is None:
+                continue
+            acc: dict = {}
+            for r, h in enumerate(hp.halo_counts):
+                acc[int(procs[r])] = acc.get(int(procs[r]), 0) + int(h)
+            out[p] = acc
         return out
 
     def impl_name(self) -> str:

@@ -62,6 +62,10 @@ class BenchResult:
     # per-shard breakdown (reference per-rank gather, main.cpp:833-890):
     # [{shard, nnz, gflops, halo_elems_recv}]
     per_shard: Optional[list] = None
+    # multi-host: halo elements received per process per SpMV
+    # {precision: {process_index: elems}} (DCN-traffic proxy)
+    comm_volume_per_host: Optional[dict] = None
+    n_processes: int = 1
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
@@ -205,4 +209,9 @@ def bench_spmv(
         impl=op.impl_name(),
         timing_samples_s=[float(s) for s in samples],
         per_shard=per_shard,
+        comm_volume_per_host=(
+            op.comm_volume_per_host()
+            if hasattr(op, "comm_volume_per_host") else None
+        ),
+        n_processes=jax.process_count(),
     )
