@@ -69,6 +69,26 @@ def main() -> int:
     ref_bytes = 8.0 * op.nnz + 2 * 4.0 * op.n_rows
     t_ref = ref_bytes / (0.8 * roof * 1e9)
     baseline_gflops = 2.0 * op.nnz / t_ref / 1e9
+
+    # secondary metrics on SuiteSparse-structure + gather-hostile matrices
+    # (VERDICT r1 items 2/4); reported inside the same JSON line
+    extras = {}
+    from uspmv_tpu.io.generators import banded_imbalanced, fem_tet3d
+
+    for name, make in (
+        ("fem_tet3d_55", lambda: fem_tet3d(55)),  # Queen_4147-class FEM
+        ("banded_imbalanced_500k",
+         lambda: banded_imbalanced(500_000, bandwidth=64,
+                                   avg_nnz_per_row=8, seed=7)),
+    ):
+        m2 = make()
+        op2 = SpmvOperator.from_mtx(Config(
+            kernel_format="scs", chunk_size=1024, sigma=1,
+            value_type="sp", bench_time=1.5, use_pallas=True,
+        ), m2)
+        r2 = bench_spmv(op2, warmup=20, start_iters=64, timing_reps=3)
+        extras[name + "_gflops"] = round(r2.perf_gflops, 2)
+
     print(
         json.dumps(
             {
@@ -80,6 +100,7 @@ def main() -> int:
                 "effective_gbps": round(res.effective_gbps, 2),
                 "n_iterations": res.n_iterations,
                 "platform": res.platform,
+                **extras,
             }
         )
     )

@@ -124,6 +124,99 @@ def test_kernel_interpret_vs_scipy(make, sigma):
     assert np.abs(y - ref).max() / scale < 2e-5
 
 
+@pytest.mark.parametrize("wr", [16, 32])
+def test_kernel_wide_windows_interpret_vs_scipy(wr):
+    # columns scattered over +-1800 (needs 32 x-rows of reach); forcing each
+    # ladder width must stay exact — the multi-level select is pure routing
+    from uspmv_tpu.io.generators import banded_imbalanced
+
+    mtx = banded_imbalanced(4000, bandwidth=1800, avg_nnz_per_row=7, seed=3)
+    scs = small_scs(mtx, 1)
+    dev = build_device_lane_tiles(scs, window_rows=wr)
+    assert dev.window_rows == wr
+    x = np.random.default_rng(1).standard_normal(mtx.n_rows).astype(np.float32)
+    xp = np.zeros(scs.n_rows_padded, np.float32)
+    xp[scs.old_to_new_idx] = x
+    y = np.asarray(spmv_lane_tiles(dev, jnp.asarray(xp), interpret=True))
+    y = y[scs.old_to_new_idx]
+    ref = mtx.to_scipy().tocsr() @ x.astype(np.float64)
+    scale = max(np.abs(ref).max(), 1e-30)
+    assert np.abs(y - ref).max() / scale < 2e-5
+
+
+def test_window_ladder_improves_fill_on_scattered_band():
+    # uniform row lengths + wide scatter: the window (not the slot
+    # ceiling) binds, so each ladder step must recover spills
+    from uspmv_tpu.io.generators import random_banded
+    from uspmv_tpu.ops.packer import pack_lane_tiles
+
+    mtx = random_banded(8000, 1800, 9, seed=3)
+    scs = small_scs(mtx, 1)
+    fills = {
+        wr: pack_lane_tiles(scs, window_rows=wr, native=False).fill
+        for wr in (8, 16, 32)
+    }
+    assert fills[32] > fills[16] > fills[8]
+
+
+def test_align_split_rows_invariants():
+    from uspmv_tpu.formats.coo import (
+        FOLD_BLOCK, align_split_rows, split_heavy_rows,
+    )
+    from uspmv_tpu.io.generators import banded_imbalanced
+
+    mtx = banded_imbalanced(5000, bandwidth=64, avg_nnz_per_row=8, seed=7)
+    n_real = mtx.n_rows
+    m2, parent = split_heavy_rows(mtx, 8)
+    m3, e, s, region, virt_ids, parent2 = align_split_rows(m2, n_real, parent)
+    assert region % FOLD_BLOCK == 0
+    # reserved dead slot at every block start
+    rel = virt_ids - n_real
+    assert (rel % FOLD_BLOCK != 0).all()
+    # runs stay within blocks: e and s of each parent share a block
+    q = np.flatnonzero(e != s)
+    assert (e[q] // FOLD_BLOCK == s[q] // FOLD_BLOCK).all()
+    assert (s[q] >= 0).all()
+    # semantics preserved: same y as the unaligned split after folding
+    A_ref = mtx.to_scipy().tocsr()
+    x = np.random.default_rng(0).standard_normal(mtx.n_rows)
+    y3 = m3.to_scipy().tocsr() @ np.pad(x, (0, m3.n_rows - mtx.n_rows))[: m3.n_cols]
+    folded = y3[:n_real].copy()
+    np.add.at(folded, parent2, y3[virt_ids])
+    np.testing.assert_allclose(folded, A_ref @ x, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("bs,layout", [(1, "rowwise"), (3, "rowwise"),
+                                       (3, "colwise")])
+def test_vectorized_fold_interpret_vs_scipy(bs, layout):
+    # force aggressive splitting so the prefix-matmul + ±1-matrix fold
+    # engages; must match scipy through spmv AND the solve-mode scan
+    from uspmv_tpu.io.generators import banded_imbalanced
+
+    mtx = banded_imbalanced(12_000, bandwidth=48, avg_nnz_per_row=7, seed=9)
+    cfg = Config(
+        kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
+        value_type="sp", backend="cpu", split_rows_threshold=6,
+        block_vec_size=bs, vector_layout=layout,
+    )
+    from uspmv_tpu.runtime.operator import SpmvOperator
+
+    op = SpmvOperator.from_mtx(cfg, mtx)
+    assert op.fold_dev is not None, "fold should engage at threshold 6"
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((mtx.n_rows, bs) if bs > 1 else mtx.n_rows)
+    x = x.astype(np.float32)
+    y = op.to_host(np.asarray(op.spmv(op.make_x(x))))
+    ref = mtx.to_scipy().tocsr() @ x.astype(np.float64)
+    scale = np.abs(ref).max()
+    assert np.abs(y - ref).max() / scale < 2e-5
+    _, y2 = op.solve(op.make_x(x), 2)
+    y2 = op.to_host(np.asarray(y2))
+    A = mtx.to_scipy().tocsr()
+    ref2 = A @ (A @ x.astype(np.float64))
+    assert np.abs(y2 - ref2).max() / np.abs(ref2).max() < 2e-4
+
+
 def test_operator_selects_lane_tiles():
     cfg = Config(
         kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,

@@ -190,6 +190,90 @@ def split_heavy_rows(
     return out, parent
 
 
+FOLD_BLOCK = 1024  # virtual-row alignment block for the prefix-sum fold
+
+
+def align_split_rows(
+    mtx: MtxData, n_real: int, parent: np.ndarray
+) -> Tuple[MtxData, np.ndarray, np.ndarray, int, np.ndarray]:
+    """Re-number the virtual rows of a split matrix so the per-parent fold
+    can run VECTORIZED instead of as a TPU scatter (XLA lowers scatters to
+    ~9 ns/index serial loops; at 100k+ virtual rows that costs more than
+    the SpMV itself).
+
+    Layout invariants established (all relative to the virtual region that
+    starts at row ``n_real``):
+      * each parent's virtual rows stay CONSECUTIVE and parent-ascending;
+      * a parent's run never straddles a FOLD_BLOCK boundary;
+      * offset 0 of every block is a reserved dead row (no elements);
+      * the region length is padded to a multiple of FOLD_BLOCK.
+
+    With those, block-local inclusive prefix sums cs of the virtual
+    partials (one (nb,1024)x(1024,1024) triangular matmul on the MXU) turn
+    the fold into per-real-row differences ``cs[e_p] - cs[s_p]`` — i.e. an
+    SpMV by a ±1 matrix with <= 2 nnz/row, which the lane-tile kernel runs
+    at full fill. Rows without pieces get e = s = 0 (difference 0).
+
+    Returns (mtx', e_idx[n_real], s_idx[n_real], region_len, virt_ids,
+    parent') — e/s are REGION-RELATIVE indices; virt_ids are the new
+    absolute row ids of the (still parent-ascending) virtual rows and
+    parent' their parents, for the scatter-fold fallback.
+    """
+    if not mtx.is_sorted:
+        raise ValueError("align_split_rows requires row-sorted input")
+    parent = np.asarray(parent)
+    n_virtual = mtx.n_rows - n_real
+    assert parent.shape[0] == n_virtual
+    # run lengths per parent (parent is ascending by construction)
+    uniq, run_start = np.unique(parent, return_index=True)
+    run_len = np.diff(np.append(run_start, n_virtual))
+    if run_len.max(initial=0) >= FOLD_BLOCK:
+        raise ValueError(
+            "a parent has >= FOLD_BLOCK virtual rows; raise the split "
+            "threshold"
+        )
+    # allocate runs: skip the reserved slot at every block start, bump to
+    # the next block when a run would straddle
+    starts = np.empty(uniq.size, dtype=np.int64)
+    pos = 0
+    B = FOLD_BLOCK
+    for i, L in enumerate(run_len):
+        if pos % B == 0:
+            pos += 1
+        elif (pos % B) + L > B:
+            pos = (pos // B + 1) * B + 1
+        starts[i] = pos
+        pos += int(L)
+    region_len = ((pos + B - 1) // B) * B
+
+    # old virtual id (dense, parent-ascending) -> new region position
+    new_pos = np.repeat(starts, run_len) + (
+        np.arange(n_virtual) - np.repeat(run_start, run_len)
+    )
+    remap = np.arange(n_real + n_virtual, dtype=np.int64)
+    remap[n_real:] = n_real + new_pos
+    new_I = remap[mtx.I]
+
+    e_idx = np.zeros(n_real, dtype=np.int32)
+    s_idx = np.zeros(n_real, dtype=np.int32)
+    e_idx[uniq] = (starts + run_len - 1).astype(np.int32)
+    s_idx[uniq] = (starts - 1).astype(np.int32)
+
+    parent2 = parent  # order preserved (runs move as units, still ascending)
+    out = MtxData(
+        n_rows=n_real + region_len,
+        n_cols=mtx.n_cols,
+        nnz=mtx.nnz,
+        is_sorted=False,
+        is_symmetric=False,
+        I=new_I.astype(np.int32),
+        J=mtx.J.copy(),
+        values=mtx.values.copy(),
+    ).sort_by_row()
+    virt_ids = (n_real + new_pos).astype(np.int64)
+    return out, e_idx, s_idx, int(region_len), virt_ids, parent2
+
+
 # ---------------------------------------------------------------------------
 # Permutation helpers (reference utilities.hpp:1755-1831)
 # ---------------------------------------------------------------------------

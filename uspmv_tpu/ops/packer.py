@@ -32,23 +32,28 @@ TILE_J = 8  # sublanes
 LANES = 128  # lanes
 CHUNK_ROWS = TILE_J * LANES  # rows per chunk = elements per tile
 WINDOW = CHUNK_ROWS  # x entries per narrow gather window (8 x2d rows)
-# wide mode: 16-row (2048-entry) windows — the kernel loads two (8,128)
-# halves and selects by the sublane table's bit 3 (+3 VPU ops/tile); chosen
-# automatically when narrow packing spills too much (scattered columns)
-WIDE_WINDOW_ROWS = 16
-WIDE_RETRY_FILL = 0.6  # repack wide when narrow fill lands below this
-WIDE_ACCEPT_FACTOR = 1.25  # keep the wide pack only if fill improves this much
+# wide mode: 16/32-row (2048/4096-entry) windows — the kernel gathers each
+# (8,128) piece and multi-level-selects by the sublane table's high bits
+# (+1 gather +1 select per extra piece per tile); chosen automatically when
+# narrower packing spills too much (scattered columns)
+WINDOW_LADDER = (TILE_J, 16, 32)
+WIDE_RETRY_FILL = 0.6  # climb the ladder while fill is below this
+WIDE_ACCEPT_FACTOR = 1.25  # keep a wider pack only if fill improves this much
 
 
 def pack_with_window_retry(pack):
-    """Single-sourced narrow-vs-wide policy: ``pack(window_rows)`` is
-    called narrow first and re-called wide when fill is poor enough and the
-    wide pack actually helps."""
-    lt = pack(TILE_J)
-    if lt.fill < WIDE_RETRY_FILL:
-        wide = pack(WIDE_WINDOW_ROWS)
+    """Single-sourced window-width policy: ``pack(window_rows)`` is called
+    narrow first and re-called wider while fill is poor enough and the
+    wider pack actually helps (each widening costs ~2 VPU ops per tile)."""
+    lt = pack(WINDOW_LADDER[0])
+    for wr in WINDOW_LADDER[1:]:
+        if lt.fill >= WIDE_RETRY_FILL:
+            break
+        wide = pack(wr)
         if wide.fill > lt.fill * WIDE_ACCEPT_FACTOR:
             lt = wide
+        else:
+            break
     return lt
 # Grid structure (grouped-flat): grid steps are decoupled from chunk
 # boundaries — a step processes TILES_PER_STEP tiles of ONE chunk-GROUP

@@ -71,6 +71,142 @@ def use_lane_tiles(config: Config) -> bool:
     )
 
 
+AUTOTUNE_FILL = 0.5  # probe alternative split thresholds below this fill
+# Per-virtual-row fold cost in tile-equivalents. The virtual-row fold is a
+# scatter-add; XLA lowers TPU scatters to ~9 ns/index (measured 2.3 ms at
+# 267k indices, sorted + hinted) versus ~11.7 ns/tile kernel streaming, so
+# one virtual row "costs" about 0.75 tiles of runtime.
+FOLD_TILE_EQUIV = 0.75
+
+
+def _autotune_lane_split(mtx: MtxData, config: Config, C: int, sigma: int):
+    """Pick (split_threshold, window_rows) for the lane-tile packer by
+    MEASURED runtime proxy, not a model.
+
+    The packed fill is bounded by avg_len/max_len per 1024-row chunk (a
+    row of length L needs L distinct tiles), so heavy-tailed matrices want
+    aggressive splitting — but splitting multiplies rows, costs a
+    per-virtual-row fold after every SpMV, and its pieces can spill
+    gather windows, so regular matrices (FEM blocks) want none. The
+    tradeoff is structure-dependent; probing candidate thresholds with
+    the real (native, fast) packer and minimizing
+
+        cost = streamed_tiles + fold_cost(threshold)
+
+    (both in units of kernel tile-time; throughput is stream-bound at
+    ~11 ns/tile — measured 635 GB/s on fill 0.49 and 0.61 alike) is both
+    simpler and more accurate than modeling the packing. Probes only run
+    when the default pack lands below AUTOTUNE_FILL, so regular matrices
+    pay one pack.
+    """
+    from ..formats.scs import permute_scs_cols
+    from ..ops.packer import (
+        pack_lane_tiles,
+        pack_with_window_retry,
+        resolve_chunks_per_group,
+    )
+
+    mean = max(mtx.nnz // max(mtx.n_rows, 1), 1)
+    default_th = int(min(max(4 * mean, 32), 1024))
+    eff_bs = (config.block_vec_size
+              if config.vector_layout == "rowwise" else 1)
+    counts = np.bincount(mtx.I, minlength=mtx.n_rows).astype(np.int64)
+    n_real = mtx.n_rows
+
+    def fold_cost(th, n_virtual):
+        """Tile-equivalents the per-SpMV fold will cost at this threshold.
+        sigma=1 gets the vectorized fold (±1 lane-tile matrix + prefix
+        matmul: ~2 tiles/chunk of real rows + ~1 tile-equiv per 1024
+        virtual rows + launch overhead); otherwise the XLA scatter at
+        FOLD_TILE_EQUIV per virtual row."""
+        if n_virtual == 0:
+            return 0.0
+        max_run = int(-(-counts.max() // th)) - 1
+        if sigma == 1 and max_run < 1024:
+            return (2.0 * -(-n_real // 1024)
+                    + n_virtual / 1024.0 + 64.0)
+        return FOLD_TILE_EQUIV * n_virtual
+
+    def cost_lower_bound(th):
+        """Exact spill-free tile count after splitting at th (chunk maxes
+        over the post-split length sequence), in O(n) — prunes hopeless
+        probes without paying their conversion (a no-split probe on a
+        1308-max-row matrix would otherwise convert 400M padded
+        elements)."""
+        n_virt_per_row = np.maximum((counts + th - 1) // th - 1, 0)
+        lens2 = np.concatenate([
+            np.minimum(counts, th),
+            np.full(int(n_virt_per_row.sum()), th, dtype=np.int64),
+        ])
+        n_pad = ((lens2.size + C - 1) // C) * C
+        lens2 = np.pad(lens2, (0, n_pad - lens2.size))
+        tiles = int(lens2.reshape(-1, C).max(axis=1).sum())
+        return tiles + fold_cost(th, int(n_virt_per_row.sum()))
+
+    def probe(th):
+        m2, _parent = split_heavy_rows(mtx, th)
+        n_virtual = m2.n_rows - mtx.n_rows
+        scs = convert_to_scs(m2.astype(np.float32), C, sigma)
+        fp = np.arange(scs.n_rows_padded, dtype=np.int32)
+        fp[: scs.n_rows] = scs.old_to_new_idx
+        permute_scs_cols(scs, fp)
+        cpg = resolve_chunks_per_group(scs.n_rows_padded // C, eff_bs)
+        lt = pack_with_window_retry(
+            lambda wr: pack_lane_tiles(
+                scs, chunks_per_group=cpg, window_rows=wr
+            )
+        )
+        cost = lt.n_tiles + fold_cost(th, n_virtual)
+        return cost, lt.fill, th, lt.window_rows
+
+    best = probe(default_th)
+    if best[1] < AUTOTUNE_FILL:
+        for th in sorted({max(mean, 2), max(2 * mean, 4),
+                          max(8 * mean, 16), 1024} - {default_th}):
+            if cost_lower_bound(th) > best[0]:
+                continue  # cannot beat the incumbent even spill-free
+            cand = probe(th)
+            if cand[0] < best[0] * 0.95:
+                best = cand
+    return best[2], best[3]
+
+
+def _build_fold_dev(fold_idx, n_rows_padded, device, block_vec_size=1):
+    """Lane-tile device struct for the VECTORIZED virtual-row fold.
+
+    With block-aligned virtual rows (formats.coo.align_split_rows), the
+    per-parent fold is ``y[p] += cs[e_p] - cs[s_p]`` over block-local
+    inclusive prefix sums cs of the virtual partials — i.e. an SpMV by a
+    ±1 matrix with <= 2 nnz/row. e/s are monotone in p, so the matrix
+    packs at near-full fill with near-perfect gather windows, and the fold
+    costs ~2 tiles/chunk of kernel streaming instead of the ~9 ns/index
+    XLA TPU scatter (which at 100k+ virtual rows costs more than the
+    whole SpMV). Rows without pieces are simply absent. Returns None when
+    the fold matrix itself exceeds a lane-tile budget (the caller keeps
+    the scatter fold)."""
+    from ..ops.packer import CHUNK_ROWS
+    from ..ops.pallas_scs import LaneTileBudgetError, build_device_lane_tiles
+
+    e, s, region_len = fold_idx
+    q = np.flatnonzero(e != s)
+    if q.size == 0:
+        return None
+    rows = np.repeat(q.astype(np.int64), 2)
+    cols = np.stack([s[q], e[q]], axis=1).reshape(-1).astype(np.int64)
+    vals = np.tile(np.array([-1.0, 1.0]), q.size)
+    F = MtxData.from_arrays(
+        rows, cols, vals, n_rows=n_rows_padded, n_cols=region_len
+    )
+    scs_f = convert_to_scs(F.astype(np.float32), CHUNK_ROWS, 1)
+    try:
+        return build_device_lane_tiles(
+            scs_f, dtype=np.float32, device=device, x_len=region_len,
+            block_vec_size=block_vec_size,
+        )
+    except LaneTileBudgetError:
+        return None
+
+
 MAX_SCS_EXPANSION = 16.0  # n_elements / nnz beyond which SCS is refused
 
 
@@ -142,8 +278,13 @@ class SpmvOperator:
     equilib: Optional[tuple] = None
     device: Optional[object] = None
     # heavy-row splitting: (virtual_pos, parent_pos) in permuted row space;
-    # each SpMV adds y[virtual_pos] into y[parent_pos] (tiny scatter-add)
+    # each SpMV adds y[virtual_pos] into y[parent_pos] (scatter fold —
+    # the fallback when the vectorized fold below is unavailable)
     split_plan: Optional[tuple] = None
+    # vectorized fold (lane-tile path, sigma=1): prefix-sum the virtual
+    # region on the MXU, then apply the ±1 difference matrix
+    fold_dev: Optional[object] = None
+    fold_region: int = 0
     _jit_spmv: Optional[object] = None
 
     # ----------------------------------------------------------------- build
@@ -172,12 +313,35 @@ class SpmvOperator:
         # before conversion, whose padding it is there to bound)
         n_real = mtx.n_rows
         split_parent = None
+        tuned_window_rows = None
+        fold_idx = None
+        virt_ids = None
         if C > 1 and config.split_rows_threshold >= 0:
             th = config.split_rows_threshold
             if th == 0:
-                mean = max(mtx.nnz // max(mtx.n_rows, 1), 1)
-                th = int(min(max(4 * mean, 32), 1024))
+                if use_lane_tiles(config) and not config.is_ap:
+                    th, tuned_window_rows = _autotune_lane_split(
+                        mtx, config, C, sigma
+                    )
+                else:
+                    mean = max(mtx.nnz // max(mtx.n_rows, 1), 1)
+                    th = int(min(max(4 * mean, 32), 1024))
             mtx, split_parent = split_heavy_rows(mtx, th)
+            if split_parent is not None:
+                virt_ids = np.arange(n_real, mtx.n_rows, dtype=np.int64)
+                if use_lane_tiles(config) and sigma == 1:
+                    # vectorized fold layout (block-aligned virtual rows;
+                    # needs the identity permutation sigma=1 gives)
+                    from ..formats.coo import align_split_rows
+
+                    try:
+                        (mtx, e_idx, s_idx, region_len, virt_ids,
+                         split_parent) = align_split_rows(
+                            mtx, n_real, split_parent
+                        )
+                        fold_idx = (e_idx, s_idx, region_len)
+                    except ValueError:
+                        pass  # a parent with >= 1024 pieces: scatter fold
         C, sigma = _guard_scs_explosion(mtx, C, sigma)
 
         n_dropped = 0
@@ -213,7 +377,6 @@ class SpmvOperator:
         old_to_new = primary.old_to_new_idx
         split_plan = None
         if split_parent is not None:
-            virt_ids = np.arange(n_real, mtx.n_rows, dtype=np.int64)
             split_plan = (
                 old_to_new[virt_ids],
                 old_to_new[split_parent],
@@ -254,6 +417,7 @@ class SpmvOperator:
                         s, dtype=dtype_for(p), device=device,
                         chunks_per_group=cpg,
                         block_vec_size=eff_bs,
+                        window_rows=tuned_window_rows,
                     )
                     for p, s in scs.items()
                 }
@@ -270,6 +434,17 @@ class SpmvOperator:
                     stacklevel=2,
                 )
                 devs = None
+        fold_dev = None
+        if devs is not None and fold_idx is not None:
+            from ..ops.pallas_scs import DeviceLaneTiles
+
+            if all(isinstance(d, DeviceLaneTiles) for d in devs.values()):
+                fold_dev = _build_fold_dev(
+                    fold_idx, primary.n_rows_padded, device,
+                    block_vec_size=(config.block_vec_size
+                                    if config.vector_layout == "rowwise"
+                                    else 1),
+                )
         if devs is None:
             devs = {
                 p: build_device_scs(
@@ -286,6 +461,8 @@ class SpmvOperator:
             old_to_new=old_to_new[:n_real],
             matrix_stats=stats,
             split_plan=split_plan,
+            fold_dev=fold_dev,
+            fold_region=(fold_idx[2] if fold_idx is not None else 0),
             nnz=mtx.nnz,
             n_dropped=n_dropped,
             jacobi_diag=jac,
@@ -301,11 +478,11 @@ class SpmvOperator:
 
     @property
     def kernel_args(self):
-        return self.devs
+        return {"devs": self.devs, "fold": self.fold_dev}
 
     def build_spmv_closure(self):
-        """The unjitted spmv function ``fn(devs, x)`` (precisions summed for
-        AP, colwise layouts vmapped per vector).
+        """The unjitted spmv function ``fn(kernel_args, x)`` (precisions
+        summed for AP, colwise layouts vmapped per vector).
 
         IMPORTANT: device arrays must flow in as ARGUMENTS, never as closure
         captures — jit embeds captured arrays as constants, which the axon
@@ -315,17 +492,61 @@ class SpmvOperator:
         layout = self.config.vector_layout
         bs = self.config.block_vec_size
         split = self.split_plan
+        n_real = self.n_rows
+        region = self.fold_region
+        use_fold = self.fold_dev is not None
 
-        def one(devs, x):
+        def one(args, x):
+            devs = args["devs"]
             y = None
             for dev in devs.values():
                 yk = impl(dev, x)
                 y = yk if y is None else y + yk
+            if use_fold:
+                # vectorized fold: block-local inclusive prefix sums of
+                # the virtual partials (one triangular matmul on the MXU),
+                # then the ±1 difference matrix through the lane-tile
+                # kernel. ~2 orders of magnitude faster than the XLA
+                # scatter at 100k+ virtual rows.
+                partials = jax.lax.dynamic_slice_in_dim(y, n_real, region)
+                nb = region // 1024
+                blocks = partials.reshape((nb, 1024) + partials.shape[1:])
+                io = jnp.arange(1024)
+                U = (io[:, None] <= io[None, :]).astype(y.dtype)
+                if partials.ndim == 1:
+                    cs = jnp.matmul(
+                        blocks, U, precision=jax.lax.Precision.HIGHEST
+                    ).reshape(-1)
+                else:
+                    cs = jnp.einsum(
+                        "njb,jk->nkb", blocks, U,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).reshape((region,) + partials.shape[1:])
+                return y + impl(args["fold"], cs)
             if split is not None:
                 # heavy-row splitting: fold virtual-row partials into their
-                # parents (indices are tiny jit constants, not re-uploaded)
+                # parents. vp is CONTIGUOUS under sigma=1 (virtual rows
+                # append after the real rows and the permutation is
+                # identity) — read it as a static slice, not a gather: XLA
+                # lowers a 267k-index gather on TPU to a ~4 ms serial loop,
+                # versus ~us for the slice. The scatter-add keeps its
+                # sorted-indices hint for the same reason.
                 vp, pp = split
-                y = y.at[pp].add(y[vp])
+                contig = vp.size and np.array_equal(
+                    vp, np.arange(vp[0], vp[0] + vp.size, dtype=vp.dtype)
+                )
+                if contig:
+                    partials = jax.lax.dynamic_slice_in_dim(
+                        y, int(vp[0]), vp.size
+                    )
+                else:
+                    partials = y[vp]
+                sorted_pp = bool(np.all(np.diff(pp) >= 0))
+                y = y.at[pp].add(
+                    partials,
+                    indices_are_sorted=sorted_pp,
+                    mode="promise_in_bounds",
+                )
             return y
 
         if bs > 1 and layout == "colwise":
@@ -339,16 +560,16 @@ class SpmvOperator:
 
     def spmv(self, x: jax.Array) -> jax.Array:
         """One y = A x in device layout (permuted/padded)."""
-        return self._spmv_fn()(self.devs, x)
+        return self._spmv_fn()(self.kernel_args, x)
 
     def _solve_fn(self):
         if getattr(self, "_jit_solve", None) is None:
             fn = self.build_spmv_closure()
 
-            def solve(devs, x, n):
+            def solve(args, x, n):
                 def body(carry, _):
                     x, _y = carry
-                    return (fn(devs, x), x), None
+                    return (fn(args, x), x), None
 
                 (x_fin, y_fin), _ = jax.lax.scan(
                     body, (x, jnp.zeros_like(x)), None, length=n
@@ -362,7 +583,7 @@ class SpmvOperator:
         """Solve mode: n_repetitions of y = A x with x<->y swap (reference
         main.cpp:528-607 + swap_local_vectors). Returns (x_last_input,
         y_result) after the final iteration, device layout."""
-        return self._solve_fn()(self.devs, x, n_repetitions)
+        return self._solve_fn()(self.kernel_args, x, n_repetitions)
 
     # ------------------------------------------------------------- vectors
 
