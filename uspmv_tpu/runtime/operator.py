@@ -163,8 +163,12 @@ def _autotune_lane_split(mtx: MtxData, config: Config, C: int, sigma: int):
     if best[1] < AUTOTUNE_FILL:
         for th in sorted({max(mean, 2), max(2 * mean, 4),
                           max(8 * mean, 16), 1024} - {default_th}):
-            if cost_lower_bound(th) > best[0]:
-                continue  # cannot beat the incumbent even spill-free
+            if cost_lower_bound(th) > 0.7 * best[0]:
+                # a candidate must promise >= 30% improvement even
+                # spill-free before we pay its probe: splitting pieces
+                # routinely spill part of the promise away, and each probe
+                # costs a full convert+pack of the matrix
+                continue
             cand = probe(th)
             if cand[0] < best[0] * 0.95:
                 best = cand
