@@ -31,6 +31,7 @@ Mirrors the reference binary's CLI (parse_cli_inputs, utilities.hpp:
     -matrix_stats        print matrix statistics and exit
     -output_sparsity     dump per-precision SCS .mtx and exit
     -backend auto|cpu|tpu
+    -dp_emu 0|1          dp on-chip via double-float emulation
     -coordinator H:P     multi-host: jax.distributed coordinator address
     -n_processes N, -process_id I, -local_devices D (CPU testing)
     -impl auto|xla|bcoo  kernel implementation (auto = pallas on TPU;
@@ -109,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-output_sparsity", action="store_true")
     p.add_argument("-backend", choices=["auto", "cpu", "tpu"], default="auto")
     p.add_argument(
+        "-dp_emu", type=int, choices=[0, 1], default=0,
+        help="run dp ON-CHIP via double-float (f32,f32) emulation "
+        "(~2^-48 relative accuracy) instead of the CPU f64 path",
+    )
+    p.add_argument(
         "-impl", choices=["auto", "xla", "bcoo"], default="auto",
         help="auto = our kernels (Pallas on TPU); xla = force the XLA "
         "path; bcoo = independent jax.experimental.sparse baseline "
@@ -173,6 +179,7 @@ def config_from_args(args) -> Config:
         overlap_comm=bool(args.overlap),
         n_shards=args.n_shards,
         backend=args.backend,
+        dp_emulation=bool(args.dp_emu),
         use_pallas=(args.impl == "auto"),
         impl=args.impl,
         output_dir=args.output_dir,

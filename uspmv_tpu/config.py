@@ -112,6 +112,10 @@ class Config:
     n_shards: int = 1  # number of mesh devices along the "rows" axis
 
     # --- device execution ---
+    # dp on-chip via double-float (f32, f32) emulation: ~2^-48 relative
+    # accuracy through error-free TwoProd/TwoSum in the lane-tile kernel,
+    # instead of silently running f64-as-f32 (axon) or falling back to CPU
+    dp_emulation: bool = False
     backend: str = "auto"  # 'auto' | 'tpu' | 'cpu'
     use_pallas: bool = True  # Pallas kernels when available, else XLA path
     # 'auto' = our kernels (Pallas when applicable, else XLA); 'xla' forces
@@ -153,6 +157,13 @@ class Config:
             raise ValueError(f"comm_mode must be one of {COMM_MODES}")
         if self.impl not in ("auto", "xla", "bcoo"):
             raise ValueError("impl must be one of ('auto', 'xla', 'bcoo')")
+        if self.dp_emulation:
+            if self.value_type != "dp":
+                raise ValueError("-dp_emu requires value_type dp")
+            if self.block_vec_size > 1:
+                raise ValueError("-dp_emu supports block_vec_size 1 only")
+            if self.n_shards > 1:
+                raise ValueError("-dp_emu is single-device only")
         if self.block_vec_size < 1:
             raise ValueError("block_vec_size must be >= 1")
         if self.value_type in AP_VALUE_TYPES:

@@ -127,6 +127,9 @@ class DeviceLaneTiles:
     window_rows: int = dataclasses.field(
         default=TILE_J, metadata=dict(static=True)
     )
+    # double-float dp emulation: vals is [2*nt, 8, 128] f32 hi/lo tile
+    # pairs, x/y travel as [n, 2] f32 pairs (see _kernel_df64)
+    df64: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def n_tiles(self) -> int:
@@ -186,11 +189,20 @@ def build_device_lane_tiles(
 
     # --- x windowing decision (whole-x VMEM residence vs per-group HBM
     # windows double-buffered into VMEM scratch) ---
+    df64 = np.dtype(dtype) == np.float64
     if x_len is None:
         x_len = lt.n_rows_padded
     x_rows = max((int(x_len) + LANES - 1) // LANES, lt.window_rows)
     if x_window is None:
-        x_window = not lane_tiles_fit(x_rows * LANES, block_vec_size)
+        # df64 carries x as an (hi, lo) pair -> 2x the VMEM footprint
+        x_window = not lane_tiles_fit(
+            x_rows * LANES, block_vec_size * (2 if df64 else 1)
+        )
+    if x_window and df64:
+        raise LaneTileBudgetError(
+            "dp emulation (df64) has no windowed-x kernel; x exceeds the "
+            "VMEM budget — run dp on the CPU path instead"
+        )
     if x_window:
         # window DMA bases are sublane-aligned and blocks are 8-row
         # multiples; align the padded x extent too so [base, base+XB)
@@ -240,7 +252,15 @@ def build_device_lane_tiles(
         lt.n_tiles // 2, 2 * TILE_J, LANES
     )
     vals = lt.vals
-    if vals.dtype.itemsize == 2:
+    if df64:
+        # split each f64 tile into an exact (hi, lo) f32 pair, interleaved
+        # as consecutive tiles (tile 2k = hi, 2k+1 = lo)
+        hi = vals.astype(np.float32)
+        lo = (vals - hi.astype(np.float64)).astype(np.float32)
+        vals = np.empty((2 * lt.n_tiles, TILE_J, LANES), dtype=np.float32)
+        vals[0::2] = hi
+        vals[1::2] = lo
+    elif vals.dtype.itemsize == 2:
         vals = vals.reshape(lt.n_tiles // 2, 2 * TILE_J, LANES)
     step_group = tile_group[::tps].astype(np.int32)
     ns = step_group.shape[0]
@@ -264,6 +284,7 @@ def build_device_lane_tiles(
         x_block_rows=int(x_block_rows),
         x_rows_total=int(x_rows),
         window_rows=lt.window_rows,
+        df64=df64,
     )
 
 
@@ -360,6 +381,84 @@ def _gather_window(window, sub_tab, lane_tab, wr, acc_dtype=None):
             )
             t1 = jnp.where(sub_tab >= p * TILE_J, hi, t1)
     return gather_lanes(t1, lane_tab)
+
+
+def _two_sum(a, b):
+    """Error-free f32 addition: returns (s, err) with a + b == s + err
+    exactly (Knuth TwoSum, 6 flops, no FMA needed)."""
+    s = a + b
+    bv = s - a
+    err = (a - (s - bv)) + (b - bv)
+    return s, err
+
+
+def _two_prod(a, b):
+    """Error-free f32 product via Dekker/Veltkamp splitting (no FMA on the
+    VPU): returns (p, err) with a * b == p + err exactly for normal
+    inputs. 4097 = 2^12 + 1 splits the 24-bit mantissa into 12 + 12 so the
+    partial products are exact in f32."""
+    split = np.float32(4097.0)
+    p = a * b
+    ah = a * split
+    ah = ah - (ah - a)
+    al = a - ah
+    bh = b * split
+    bh = bh - (bh - b)
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _kernel_df64(
+    # scalar-prefetch refs (SMEM)
+    meta_ref,
+    sg_ref,
+    sf_ref,
+    # blocked inputs
+    vals_ref,  # (2*TILES_PER_STEP, 8, 128) f32: tile 2k = hi, 2k+1 = lo
+    src_ref,  # (TILES_PER_STEP/2, 16, 128) int16 gather tables
+    x_ref,  # (2, x_rows, 128) f32: plane 0 = hi, plane 1 = lo
+    out_ref,  # (2, G, 8, 128) f32 running double-float accumulator
+    *,
+    tps,
+    wr,
+):
+    """Double-float (f32, f32) SpMV — the dp-on-TPU emulation path.
+
+    The TPU has no native f64 (the axon plugin silently computes f64 as
+    f32), so the reference's dp benchmark line normally runs on CPU here
+    (SURVEY.md §7). With -dp_emu, matrix values and x travel as hi/lo f32
+    pairs and each element does an error-free TwoProd + TwoSum into a
+    double-float accumulator: ~2^-48 relative accuracy (vs f64's 2^-53)
+    at ~2x the stream bytes and ~25 VPU ops/element instead of 1 FMA."""
+    del sg_ref
+    step = pl.program_id(0)
+
+    @pl.when(sf_ref[step] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    base = step * tps
+    I32_0 = np.int32(0)
+    I32_1 = np.int32(1)
+    for k in range(tps):
+        m = meta_ref[base + k]
+        w = m >> CL_BITS
+        cl = jnp.bitwise_and(m, (1 << CL_BITS) - 1)
+        half = (k % 2) * TILE_J
+        packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
+        lane_tab = jnp.bitwise_and(packed, LANES - 1)
+        sub_tab = jnp.right_shift(packed, 7)
+        vh = vals_ref[2 * k]
+        vl = vals_ref[2 * k + 1]
+        gh = _gather_window(x_ref[I32_0, pl.ds(w, wr), :], sub_tab, lane_tab, wr)
+        gl = _gather_window(x_ref[I32_1, pl.ds(w, wr), :], sub_tab, lane_tab, wr)
+        ph, pe = _two_prod(vh, gh)
+        plo = pe + vh * gl + vl * gh  # v*x to ~2^-48 (vl*gl dropped)
+        sh = out_ref[I32_0, cl]
+        th, te = _two_sum(sh, ph)
+        out_ref[I32_0, cl] = th
+        out_ref[I32_1, cl] = out_ref[I32_1, cl] + (te + plo)
 
 
 def _kernel(
@@ -501,14 +600,67 @@ def _kernel_windowed(
             out_ref[bi, cl] = out_ref[bi, cl] + v * gth.astype(acc_dtype)
 
 
+def _spmv_lane_tiles_df64(dev, x, interpret):
+    """Double-float SpMV: x is an [n, 2] f32 (hi, lo) pair, returns the
+    [n_rows_padded, 2] pair (see _kernel_df64)."""
+    assert x.ndim == 2 and x.shape[1] == 2, "df64 x must be an (n, 2) pair"
+    n_pad = dev.n_rows_padded
+    x_rows = max(
+        (x.shape[0] + LANES - 1) // LANES, dev.window_rows, dev.x_rows_total
+    )
+    x3d = x.astype(jnp.float32)
+    if x3d.shape[0] < x_rows * LANES:
+        x3d = jnp.pad(x3d, ((0, x_rows * LANES - x3d.shape[0]), (0, 0)))
+    x3d = x3d.T.reshape(2, x_rows, LANES)
+    Z = np.int32(0)
+    nt = dev.n_tiles
+    tps = dev.tiles_per_step
+    G = dev.chunks_per_group
+    assert nt % tps == 0
+    ns = nt // tps
+    vals_spec = pl.BlockSpec(
+        (2 * tps, TILE_J, LANES), lambda s, m, g, f: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    src_spec = pl.BlockSpec(
+        (tps // 2, 2 * TILE_J, LANES), lambda s, m, g, f: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    x_spec = pl.BlockSpec(
+        x3d.shape, lambda s, m, g, f: (Z, Z, Z), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (2, G, TILE_J, LANES), lambda s, m, g, f: (Z, g[s], Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ns,),
+        in_specs=[vals_spec, src_spec, x_spec],
+        out_specs=out_spec,
+    )
+    y = pl.pallas_call(
+        functools.partial(_kernel_df64, tps=tps, wr=dev.window_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (2, dev.n_groups * G, TILE_J, LANES), jnp.float32
+        ),
+        interpret=interpret,
+    )(dev.meta, dev.step_group, dev.step_first, dev.vals, dev.src16, x3d)
+    return y.reshape(2, -1)[:, :n_pad].T
+
+
 def spmv_lane_tiles(
     dev: DeviceLaneTiles, x: jax.Array, interpret: Optional[bool] = None
 ) -> jax.Array:
     """y = A @ x. x: [n_rows_padded] (permuted, padded) for one vector, or
     [n_rows_padded, bs] for a rowwise block vector (SpMMV) — all vectors
-    share one matrix stream. Returns y of the same shape."""
+    share one matrix stream. Returns y of the same shape. df64 devices
+    take/return [n, 2] f32 (hi, lo) pairs instead."""
     if interpret is None:
         interpret = not pallas_supported()
+    if dev.df64:
+        return _spmv_lane_tiles_df64(dev, x, interpret)
     n_pad = dev.n_rows_padded
     # x may be longer than the matrix's rows (halo-extended buffer in the
     # distributed path); windows were clamped to its length at pack time.

@@ -51,7 +51,7 @@ def resolve_device(config: Config):
     # auto
     needs_f64 = np.dtype(config.working_dtype()) == np.float64
     default = jax.devices()[0]
-    if needs_f64 and default.platform != "cpu":
+    if needs_f64 and not config.dp_emulation and default.platform != "cpu":
         return jax.devices("cpu")[0]
     return default
 
@@ -67,7 +67,8 @@ def use_lane_tiles(config: Config) -> bool:
         and config.impl == "auto"
         and config.kernel_format == "scs"
         and config.chunk_size == CHUNK_ROWS
-        and np.dtype(config.working_dtype()) != np.float64
+        and (np.dtype(config.working_dtype()) != np.float64
+             or config.dp_emulation)  # df64 kernel
     )
 
 
@@ -320,7 +321,10 @@ class SpmvOperator:
         tuned_window_rows = None
         fold_idx = None
         virt_ids = None
-        if C > 1 and config.split_rows_threshold >= 0:
+        # df64 accumulates (hi, lo) pairs; the scatter/vectorized folds
+        # would renormalize incorrectly, so splitting is off under -dp_emu
+        if (C > 1 and config.split_rows_threshold >= 0
+                and not config.dp_emulation):
             th = config.split_rows_threshold
             if th == 0:
                 if use_lane_tiles(config) and not config.is_ap:
@@ -450,6 +454,10 @@ class SpmvOperator:
                                     else 1),
                 )
         if devs is None:
+            if config.dp_emulation and device.platform != "cpu":
+                # the XLA fallback would run f64 as f32 on the axon TPU;
+                # honest dp means CPU when the df64 kernel can't build
+                device = jax.devices("cpu")[0]
             devs = {
                 p: build_device_scs(
                     s, tile_elems=config.tile_elems, device=device
@@ -591,6 +599,12 @@ class SpmvOperator:
 
     # ------------------------------------------------------------- vectors
 
+    def _is_df64(self) -> bool:
+        from ..ops.pallas_scs import DeviceLaneTiles
+
+        d = next(iter(self.devs.values()))
+        return isinstance(d, DeviceLaneTiles) and d.df64
+
     def make_x(self, x_in: Optional[np.ndarray] = None) -> jax.Array:
         host = init_x_host(
             self.config,
@@ -602,13 +616,21 @@ class SpmvOperator:
         dev = to_device_layout(
             host, self.config.vector_layout, self.n_rows_padded, self.old_to_new
         )
+        if self._is_df64():
+            # exact f64 -> (hi, lo) f32 pair split for the df64 kernel
+            hi = dev.astype(np.float32)
+            lo = (dev - hi.astype(np.float64)).astype(np.float32)
+            dev = np.stack([hi, lo], axis=-1)
         if self.device is not None:
             return jax.device_put(dev, self.device)
         return jnp.asarray(dev)
 
     def to_host(self, y: jax.Array) -> np.ndarray:
+        y = np.asarray(y)
+        if self._is_df64():
+            y = y[..., 0].astype(np.float64) + y[..., 1].astype(np.float64)
         return from_device_layout(
-            np.asarray(y), self.config.vector_layout, self.old_to_new
+            y, self.config.vector_layout, self.old_to_new
         )
 
     # ------------------------------------------------------------- metrics
@@ -646,7 +668,8 @@ class SpmvOperator:
         from ..ops.pallas_scs import DeviceLaneTiles
 
         if any(isinstance(d, DeviceLaneTiles) for d in self.devs.values()):
-            return "pallas-lane-tiles"
+            return "pallas-lane-tiles-df64" if self._is_df64() \
+                else "pallas-lane-tiles"
         if self.config.kernel_format == "crs":
             return "xla-flat-crs"
         return "xla-tiled-scs"
