@@ -371,6 +371,57 @@ def test_distributed_lane_tiles(overlap, bs):
     assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-5
 
 
+@pytest.mark.parametrize("overlap", [False, True])
+def test_distributed_heavy_row_split_fold(overlap):
+    # power-law rows sharded over 4 devices with a forced low split
+    # threshold: per-shard virtual rows + the stacked vectorized fold
+    # must reproduce scipy exactly (sp tolerances)
+    from uspmv_tpu.io.generators import banded_imbalanced
+
+    # banded: gather windows stay tight, so the interpret-mode kernel
+    # stays fast; the power-law tail still forces splitting
+    mtx = banded_imbalanced(30_000, bandwidth=48, avg_nnz_per_row=8, seed=21)
+    cfg = Config(
+        kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
+        n_shards=4, seg_method="seg-nnz", backend="cpu",
+        split_rows_threshold=8, overlap_comm=overlap,
+    )
+    op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+    assert op.fold_dev is not None, "fold should engage at threshold 8"
+    assert op.fold_region[1] > 0
+    x = op.make_x()
+    y = op.to_host(np.asarray(op.spmv(x)))
+    xh = op.to_host(np.asarray(x))
+    ref = mtx.to_scipy().tocsr() @ xh.astype(np.float64)
+    scale = max(np.abs(ref).max(), 1e-30)
+    assert np.abs(y - ref).max() / scale < 5e-5
+    # solve chains the fold through the scan
+    _, y2 = op.solve(x, 2)
+    y2 = op.to_host(np.asarray(y2))
+    A = mtx.to_scipy().tocsr()
+    ref2 = A @ (A @ xh.astype(np.float64))
+    assert np.abs(y2 - ref2).max() / max(np.abs(ref2).max(), 1e-30) < 5e-4
+
+
+def test_distributed_split_fold_improves_fill():
+    from uspmv_tpu.ops.pallas_scs import DeviceLaneTiles
+
+    from uspmv_tpu.io.generators import banded_imbalanced
+
+    mtx = banded_imbalanced(30_000, bandwidth=48, avg_nnz_per_row=8, seed=21)
+    base = dict(kernel_format="scs", chunk_size=1024, sigma=1,
+                value_type="sp", n_shards=2, backend="cpu")
+    op_ns = DistributedSpmvOperator.from_mtx(
+        Config(split_rows_threshold=-1, **base), mtx
+    )
+    op_sp = DistributedSpmvOperator.from_mtx(
+        Config(split_rows_threshold=8, **base), mtx
+    )
+    d_ns, d_sp = op_ns.devs["sp"], op_sp.devs["sp"]
+    if isinstance(d_ns, DeviceLaneTiles) and isinstance(d_sp, DeviceLaneTiles):
+        assert d_sp.fill > 1.5 * d_ns.fill
+
+
 def test_distributed_bench_smoke():
     """bench_spmv works end-to-end on a distributed lane-tile operator
     (regression: the platform/stream accounting crashed on DeviceLaneTiles

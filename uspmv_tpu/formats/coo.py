@@ -194,15 +194,17 @@ FOLD_BLOCK = 1024  # virtual-row alignment block for the prefix-sum fold
 
 
 def align_split_rows(
-    mtx: MtxData, n_real: int, parent: np.ndarray
+    mtx: MtxData, n_real: int, parent: np.ndarray, base: int = -1
 ) -> Tuple[MtxData, np.ndarray, np.ndarray, int, np.ndarray]:
     """Re-number the virtual rows of a split matrix so the per-parent fold
     can run VECTORIZED instead of as a TPU scatter (XLA lowers scatters to
     ~9 ns/index serial loops; at 100k+ virtual rows that costs more than
     the SpMV itself).
 
-    Layout invariants established (all relative to the virtual region that
-    starts at row ``n_real``):
+    Layout invariants established (all relative to the virtual region,
+    which starts at row ``base`` — default ``n_real``; the distributed
+    path passes a COMMON base so one shard_map program can slice every
+    shard's region at the same offset):
       * each parent's virtual rows stay CONSECUTIVE and parent-ascending;
       * a parent's run never straddles a FOLD_BLOCK boundary;
       * offset 0 of every block is a reserved dead row (no elements);
@@ -222,6 +224,9 @@ def align_split_rows(
     if not mtx.is_sorted:
         raise ValueError("align_split_rows requires row-sorted input")
     parent = np.asarray(parent)
+    if base < 0:
+        base = n_real
+    assert base >= n_real, "virtual region cannot overlap real rows"
     n_virtual = mtx.n_rows - n_real
     assert parent.shape[0] == n_virtual
     # run lengths per parent (parent is ascending by construction)
@@ -251,7 +256,7 @@ def align_split_rows(
         np.arange(n_virtual) - np.repeat(run_start, run_len)
     )
     remap = np.arange(n_real + n_virtual, dtype=np.int64)
-    remap[n_real:] = n_real + new_pos
+    remap[n_real:] = base + new_pos
     new_I = remap[mtx.I]
 
     e_idx = np.zeros(n_real, dtype=np.int32)
@@ -261,7 +266,7 @@ def align_split_rows(
 
     parent2 = parent  # order preserved (runs move as units, still ascending)
     out = MtxData(
-        n_rows=n_real + region_len,
+        n_rows=base + region_len,
         n_cols=mtx.n_cols,
         nnz=mtx.nnz,
         is_sorted=False,
@@ -270,7 +275,7 @@ def align_split_rows(
         J=mtx.J.copy(),
         values=mtx.values.copy(),
     ).sort_by_row()
-    virt_ids = (n_real + new_pos).astype(np.int64)
+    virt_ids = (base + new_pos).astype(np.int64)
     return out, e_idx, s_idx, int(region_len), virt_ids, parent2
 
 

@@ -161,6 +161,10 @@ class DistributedSpmvOperator:
     matrix_stats: tuple
     nnz: int
     n_dropped: int = 0
+    # heavy-row splitting (per-shard, lane-tile path): stacked ±1 fold
+    # matrix + (common region offset V0, common region length)
+    fold_dev: Optional[object] = None
+    fold_region: tuple = (0, 0)
     _jit_spmv: Optional[object] = None
 
     # ------------------------------------------------------------------ build
@@ -169,6 +173,7 @@ class DistributedSpmvOperator:
     def from_mtx(cls, config: Config, mtx: MtxData) -> "DistributedSpmvOperator":
         config.validate()
         R = config.n_shards
+        mtx_in = mtx  # kept for the rare no-split retry
         mtx = mtx.copy()
         if not mtx.is_sorted:
             mtx = mtx.sort_by_row()
@@ -190,6 +195,28 @@ class DistributedSpmvOperator:
         C = config.chunk_size if config.kernel_format == "scs" else 1
         sigma = config.sigma if config.kernel_format == "scs" else 1
 
+        # --- heavy-row splitting plan (lane-tile shards only) ---
+        # virtual rows are LOCAL to each shard, placed at a COMMON region
+        # offset V0 so one shard_map program can slice every shard's
+        # partials at the same position for the vectorized fold
+        from ..runtime.operator import analytic_split_threshold, use_lane_tiles
+
+        do_split = (
+            config.split_rows_threshold >= 0
+            and not config.is_ap
+            and sigma == 1
+            and use_lane_tiles(config)
+        )
+        split_th = config.split_rows_threshold
+        if do_split and split_th == 0:
+            tuned = analytic_split_threshold(mtx, C)
+            if tuned is None:
+                do_split = False
+            else:
+                split_th = tuned
+        V0 = int(np.diff(ws).max()) if do_split else 0
+        fold_info: List[Optional[tuple]] = []
+
         # --- per-shard local COO (global cols) -> per-precision SCS ---
         precisions = config.ap_precisions
         scs: Dict[str, List[ScsData]] = {p: [] for p in precisions}
@@ -197,6 +224,21 @@ class DistributedSpmvOperator:
         n_dropped = 0
         for r in range(R):
             local = mtx.slice_rows(int(ws[r]), int(ws[r + 1]))
+            n_real_r = local.n_rows
+            if do_split:
+                from ..formats.coo import align_split_rows, split_heavy_rows
+
+                m2, par = split_heavy_rows(local, split_th)
+                fi = None
+                if par is not None:
+                    try:
+                        local, e_idx, s_idx, region, _virt, _par2 = (
+                            align_split_rows(m2, n_real_r, par, base=V0)
+                        )
+                        fi = (e_idx, s_idx, region)
+                    except ValueError:
+                        pass  # a parent with >= 1024 pieces: skip this shard
+                fold_info.append(fi)
             if config.is_ap:
                 subs, dr = partition_precisions(
                     local,
@@ -223,9 +265,16 @@ class DistributedSpmvOperator:
                 p = precisions[0]
                 primary = convert_to_scs(local.astype(dtype_for(p)), C, sigma)
                 scs[p].append(primary)
-            shard_perms.append(scs[precisions[0]][r].old_to_new_idx)
+            # truncated to the REAL rows: virtual rows never appear in
+            # make_x/to_host (sigma=1 keeps the identity prefix)
+            shard_perms.append(
+                scs[precisions[0]][r].old_to_new_idx[: int(ws[r + 1] - ws[r])]
+            )
 
         n_loc = max(s.n_rows_padded for s in scs[precisions[0]])
+        fold_region_max = max(
+            (fi[2] for fi in fold_info if fi is not None), default=0
+        )
 
         # --- communication plan + column renumbering (per precision) ---
         plans: Dict[str, Optional[_PrecPlan]] = {}
@@ -354,6 +403,59 @@ class DistributedSpmvOperator:
             )
             devs, devs_halo = _build_all(False)
 
+        fold_dev = None
+        if fold_region_max:
+            from ..ops.packer import resolve_chunks_per_group
+            from ..ops.pallas_scs import (
+                LaneTileBudgetError,
+                build_device_lane_tiles,
+                stack_device_lane_tiles,
+            )
+
+            try:
+                cpg_f = resolve_chunks_per_group(n_loc // C)
+                folds = []
+                for r in range(R):
+                    fi = fold_info[r]
+                    if fi is not None:
+                        e, s, _region = fi
+                        q = np.flatnonzero(e != s)
+                    else:
+                        q = np.zeros(0, dtype=np.int64)
+                    if q.size:
+                        rows = np.repeat(q.astype(np.int64), 2)
+                        cols = np.stack([s[q], e[q]], axis=1).reshape(-1)
+                        vals = np.tile(np.array([-1.0, 1.0]), q.size)
+                    else:
+                        # harmless dummy so empty shards still stack
+                        rows = np.zeros(1, dtype=np.int64)
+                        cols = np.zeros(1, dtype=np.int64)
+                        vals = np.zeros(1)
+                    F = MtxData.from_arrays(
+                        rows, cols.astype(np.int64), vals,
+                        n_rows=n_loc, n_cols=fold_region_max,
+                    )
+                    scs_f = convert_to_scs(F.astype(np.float32), C, 1)
+                    folds.append(build_device_lane_tiles(
+                        scs_f, dtype=np.float32, tiles_per_step=8,
+                        chunks_per_group=cpg_f, x_len=fold_region_max,
+                        x_window=False, window_rows=8,
+                    ))
+                fold_dev = stack_device_lane_tiles(folds)
+            except LaneTileBudgetError as e:
+                # can't fold -> splitting would produce WRONG results;
+                # rebuild the whole operator without splitting
+                import dataclasses as _dc
+                import warnings
+
+                warnings.warn(
+                    f"distributed fold build failed ({e}); rebuilding "
+                    "without heavy-row splitting", stacklevel=2,
+                )
+                return cls.from_mtx(
+                    _dc.replace(config, split_rows_threshold=-1), mtx_in
+                )
+
         devices = _mesh_devices(config, R)
         mesh = Mesh(devices, ("rows",))
         op = cls(
@@ -372,6 +474,8 @@ class DistributedSpmvOperator:
             matrix_stats=stats,
             nnz=mtx.nnz,
             n_dropped=n_dropped,
+            fold_dev=fold_dev,
+            fold_region=(V0, fold_region_max),
         )
         op._place()
         return op
@@ -392,6 +496,10 @@ class DistributedSpmvOperator:
             if plan is not None:
                 plan.gathers = [jax.device_put(g, sh) for g in plan.gathers]
                 plan.scatters = [jax.device_put(s, sh) for s in plan.scatters]
+        if self.fold_dev is not None:
+            self.fold_dev = jax.tree.map(
+                lambda a: jax.device_put(a, sh), self.fold_dev
+            )
 
     # -------------------------------------------------------------- execution
 
@@ -443,7 +551,8 @@ class DistributedSpmvOperator:
             }
             for p in self.devs
         }
-        return (self.devs, self.devs_halo, plan_arrays)
+        return (self.devs, self.devs_halo, plan_arrays,
+                self.fold_dev if self.fold_dev is not None else {})
 
     def build_spmv_closure(self):
         """Raw (unjitted) sharded step fn(args, x):
@@ -461,8 +570,10 @@ class DistributedSpmvOperator:
             impl = partial(spmv_pallas, interpret=interpret)
         precisions = list(self.devs)
         n_loc = self.n_rows_padded
+        V0, region = self.fold_region
+        has_fold = self.fold_dev is not None
 
-        def shard_fn(x_blk, devs_blk, halo_blk, plan_arrays):
+        def shard_fn(x_blk, devs_blk, halo_blk, plan_arrays, fold_blk):
             # shard_map gives blocks with leading dim 1
             x = x_blk[0]
             y = None
@@ -485,12 +596,36 @@ class DistributedSpmvOperator:
                     xb = self._exchange(x, plan, ga, sc)
                     yk = impl(dev, xb)[:n_loc]
                 y = yk if y is None else y + yk
+            if has_fold:
+                # vectorized virtual-row fold (see runtime/operator.py):
+                # block-local prefix sums of the shard's virtual region
+                # via one triangular MXU matmul, then the shard's ±1
+                # difference matrix through the lane-tile kernel
+                from ..ops.pallas_scs import spmv_pallas
+
+                fdev = jax.tree.map(lambda a: a[0], fold_blk)
+                partials = jax.lax.dynamic_slice_in_dim(y, V0, region)
+                nb = region // 1024
+                blocks = partials.reshape((nb, 1024) + partials.shape[1:])
+                io = jnp.arange(1024)
+                U = (io[:, None] <= io[None, :]).astype(y.dtype)
+                if partials.ndim == 1:
+                    cs = jnp.matmul(
+                        blocks, U, precision=jax.lax.Precision.HIGHEST
+                    ).reshape(-1)
+                else:
+                    cs = jnp.einsum(
+                        "njb,jk->nkb", blocks, U,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).reshape((region,) + partials.shape[1:])
+                interp = self.mesh.devices.flat[0].platform != "tpu"
+                y = y + spmv_pallas(fdev, cs, interpret=interp)[:n_loc]
             return y[None]
 
         fn = _shard_map(
             shard_fn,
             self.mesh,
-            in_specs=(P("rows"), P("rows"), P("rows"), P("rows")),
+            in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows")),
             out_specs=P("rows"),
         )
 
@@ -498,16 +633,16 @@ class DistributedSpmvOperator:
         if bs > 1 and cfg.vector_layout == "colwise":
             # per-vector exchange+kernel sweep = singlevec/multivec modes
             def step(args, x):  # x: [bs, R, n_loc]
-                devs, devs_halo, plan_arrays = args
+                devs, devs_halo, plan_arrays, fold = args
                 return jax.vmap(
-                    lambda xv: fn(xv, devs, devs_halo, plan_arrays)
+                    lambda xv: fn(xv, devs, devs_halo, plan_arrays, fold)
                 )(x)
 
         else:
 
             def step(args, x):  # x: [R, n_loc(, bs)]
-                devs, devs_halo, plan_arrays = args
-                return fn(x, devs, devs_halo, plan_arrays)
+                devs, devs_halo, plan_arrays, fold = args
+                return fn(x, devs, devs_halo, plan_arrays, fold)
 
         return step
 

@@ -176,6 +176,47 @@ def _autotune_lane_split(mtx: MtxData, config: Config, C: int, sigma: int):
     return best[2], best[3]
 
 
+def analytic_split_threshold(mtx: MtxData, C: int) -> Optional[int]:
+    """Pick a heavy-row split threshold WITHOUT packing probes, from the
+    row-length histogram alone: minimize the spill-free tile bound
+    tiles(th) + vectorized-fold cost (see _autotune_lane_split, which
+    additionally probes spills — this cheap variant serves the distributed
+    path, where probing R shards is too expensive). Returns None when no
+    candidate promises >= 30% over the 4*mean default (splitting pieces
+    routinely spill part of the promise away)."""
+    counts = np.bincount(mtx.I, minlength=mtx.n_rows).astype(np.int64)
+    if counts.size == 0:
+        return None
+    mean = max(int(counts.mean()), 1)
+    default_th = int(min(max(4 * mean, 32), 1024))
+
+    def bound(th):
+        n_virt = np.maximum((counts + th - 1) // th - 1, 0)
+        lens2 = np.concatenate([
+            np.minimum(counts, th),
+            np.full(int(n_virt.sum()), th, dtype=np.int64),
+        ])
+        n_pad = ((lens2.size + C - 1) // C) * C
+        lens2 = np.pad(lens2, (0, n_pad - lens2.size))
+        tiles = int(lens2.reshape(-1, C).max(axis=1).sum())
+        nv = int(n_virt.sum())
+        fold = 0.0 if nv == 0 else (
+            2.0 * -(-counts.size // 1024) + nv / 1024.0 + 64.0
+        )
+        return tiles + fold
+
+    b0 = bound(default_th)
+    best_th, best_b = default_th, b0
+    for th in sorted({max(mean, 2), max(2 * mean, 4), max(8 * mean, 16)}
+                     - {default_th}):
+        b = bound(th)
+        if b < best_b:
+            best_th, best_b = th, b
+    if best_th != default_th and best_b < 0.7 * b0:
+        return best_th
+    return None
+
+
 def _build_fold_dev(fold_idx, n_rows_padded, device, block_vec_size=1):
     """Lane-tile device struct for the VECTORIZED virtual-row fold.
 
