@@ -238,18 +238,23 @@ def align_split_rows(
             "threshold"
         )
     # allocate runs: skip the reserved slot at every block start, bump to
-    # the next block when a run would straddle
+    # the next block when a run would straddle. Batched per BLOCK (a
+    # searchsorted finds how many whole runs fit the remaining capacity),
+    # which packs identically to the sequential first-fit cursor but in
+    # O(n_blocks log n) instead of a Python loop over every run.
     starts = np.empty(uniq.size, dtype=np.int64)
-    pos = 0
     B = FOLD_BLOCK
-    for i, L in enumerate(run_len):
-        if pos % B == 0:
-            pos += 1
-        elif (pos % B) + L > B:
-            pos = (pos // B + 1) * B + 1
-        starts[i] = pos
-        pos += int(L)
-    region_len = ((pos + B - 1) // B) * B
+    cum = np.concatenate(([0], np.cumsum(run_len)))
+    i0 = 0
+    blk = 0
+    n_runs = uniq.size
+    while i0 < n_runs:
+        j = int(np.searchsorted(cum, cum[i0] + (B - 1), side="right")) - 1
+        j = max(j, i0 + 1)  # every run fits alone (run_len < B enforced)
+        starts[i0:j] = blk * B + 1 + (cum[i0:j] - cum[i0])
+        blk += 1
+        i0 = j
+    region_len = blk * B
 
     # old virtual id (dense, parent-ascending) -> new region position
     new_pos = np.repeat(starts, run_len) + (
