@@ -84,6 +84,28 @@ def main() -> int:
             n_fail += 1
             print(f"ERROR rc={rc} {os.path.basename(path)} C={C} "
                   f"sigma={sigma} {prec} rand_x={rx}")
+    # round-2 paths: the BCOO comparison baseline, heavy-row splitting +
+    # vectorized fold, and dp-on-chip emulation, each through the same
+    # solve+validate harness
+    extra_runs = [
+        ["-impl", "bcoo", "-sp"],
+        ["-c", "1024", "-s", "1", "-sp", "-split_rows_threshold", "6"],
+        ["-c", "1024", "-s", "1", "-dp", "-dp_emu", "1"],
+    ]
+    for path in matrices[:1]:
+        for extra in extra_runs:
+            fmt = "scs" if "-c" in extra else "crs"
+            argv = [path, fmt, "-mode", "s", "-rev", "2", "-validate", "1",
+                    "-mtx_out", out_dir] + extra
+            n_runs += 1
+            try:
+                rc = cli.main(argv)
+            except Exception as e:  # noqa: BLE001
+                rc = 3
+                print(f"EXCEPTION {os.path.basename(path)} {extra}: {e}")
+            if rc != 0:
+                n_fail += 1
+                print(f"ERROR rc={rc} {os.path.basename(path)} {extra}")
     print(f"campaign: {n_runs} runs, {n_fail} failures")
     return 1 if n_fail else 0
 

@@ -26,6 +26,7 @@ Mirrors the reference binary's CLI (parse_cli_inputs, utilities.hpp:
     -comm_mode M         bulkvec|multivec|singlevec|allgather
     -comm_halos 0|1, -ba_synch 0|1, -par_pack 0|1, -no_pack 0|1
     -print_comm_vol 0|1
+    -split_rows_threshold N   heavy-row splitting (0=auto, -1=off)
     -validate 0|1        solve-mode scipy validation    [1]
     -verbose 0|1
     -matrix_stats        print matrix statistics and exit
@@ -104,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-print_comm_vol", type=int, choices=[0, 1], default=0)
     p.add_argument("-overlap", type=int, choices=[0, 1], default=1,
                    help="overlap halo exchange with interior SpMV")
+    p.add_argument("-split_rows_threshold", type=int, default=0,
+                   help="heavy-row split threshold: 0 = fill-autotuned, "
+                        "-1 = disabled, N = split rows longer than N")
     p.add_argument("-validate", type=int, choices=[0, 1], default=1)
     p.add_argument("-verbose", type=int, choices=[0, 1], default=0)
     p.add_argument("-matrix_stats", action="store_true")
@@ -177,6 +181,7 @@ def config_from_args(args) -> Config:
         no_pack=bool(args.no_pack),
         print_comm_vol=bool(args.print_comm_vol),
         overlap_comm=bool(args.overlap),
+        split_rows_threshold=args.split_rows_threshold,
         n_shards=args.n_shards,
         backend=args.backend,
         dp_emulation=bool(args.dp_emu),

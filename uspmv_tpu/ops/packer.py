@@ -262,28 +262,67 @@ def pack_lane_tiles(
     vals_out[di, ii, ji] = t_vals[ti, ii, ji]
     base_chunk = chunk_of_plane.astype(np.int32)
 
-    # --- spill packing (greedy per chunk) ---
+    # --- spill retry into BASE bins (before opening spill tiles) ---
+    # The two-pointer assigns a row's k-th element to bin >= k (monotone
+    # heuristic); when that misses, ANY bin of the chunk is still legal
+    # (free slot + window + sublane consistency). Without this pass a
+    # 7-point stencil leaves ~1 spill tile per chunk at <1% occupancy —
+    # 13% of the whole value stream on the headline matrix.
+    used = np.zeros(nt_base, dtype=bool)
+    if di.size:
+        used[np.unique(di)] = True
     n_spilled = int(spill_mask.sum())
-    extra = {"vals": [], "sub": [], "lane": [], "w": [], "chunk": []}
     if n_spilled:
+        occ_base = np.zeros((nt_base, TILE_J, LANES), dtype=bool)
+        s_set = np.zeros((nt_base, TILE_J, LANES), dtype=bool)
+        if ti.size:
+            occ_base[di, ii, ji] = True
+            s_set[di, ii, lane[ti, ii, ji]] = True
         sti, sii, sji = np.nonzero(spill_mask)
         s_chunk = base_chunk[sti]
         s_col = t_cols[sti, sii, sji]
         s_val = t_vals[sti, sii, sji]
-        s_i, s_j = sii, sji  # fixed y slot (r>>7, r&127) of the row
         order = np.lexsort((s_col, s_chunk))
-        for c in np.unique(s_chunk):
+        still = []
+        for idx in order:
+            c = int(s_chunk[idx])
+            i, j = int(sii[idx]), int(sji[idx])
+            col = int(s_col[idx])
+            t0b = int(plane_start[c])
+            placed = False
+            for b in range(t0b, t0b + int(lens[c])):
+                off = col - int(w_row[b]) * LANES
+                if not (0 <= off < window) or occ_base[b, i, j]:
+                    continue
+                l, s = off & (LANES - 1), off >> 7
+                if s_set[b, i, l] and sub_tab[b, i, l] != s:
+                    continue
+                vals_out[b, i, j] = s_val[idx]
+                lane_tab[b, i, j] = l
+                sub_tab[b, i, l] = s
+                s_set[b, i, l] = True
+                occ_base[b, i, j] = True
+                used[b] = True
+                placed = True
+                break
+            if not placed:
+                still.append(idx)
+        order = np.asarray(still, dtype=np.int64)
+        # n_spilled reports elements in DEDICATED spill tiles (post-retry)
+        n_spilled = int(order.size)
+
+    # --- spill packing (greedy per chunk) ---
+    extra = {"vals": [], "sub": [], "lane": [], "w": [], "chunk": []}
+    if n_spilled and order.size:
+        for c in np.unique(s_chunk[order]):
             sel = order[s_chunk[order] == c]
             _pack_spills(
                 extra, int(c),
-                s_col[sel], s_val[sel], s_i[sel], s_j[sel],
+                s_col[sel], s_val[sel], sii[sel], sji[sel],
                 max_wrow, dtype, window,
             )
 
     # drop bins that ended up empty (all their elements moved elsewhere)
-    used = np.zeros(nt_base, dtype=bool)
-    if di.size:
-        used[np.unique(di)] = True
     if not used.all():
         vals_out = vals_out[used]
         sub_tab = sub_tab[used]
