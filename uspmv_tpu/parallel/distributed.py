@@ -602,22 +602,11 @@ class DistributedSpmvOperator:
                 # via one triangular MXU matmul, then the shard's ±1
                 # difference matrix through the lane-tile kernel
                 from ..ops.pallas_scs import spmv_pallas
+                from ..runtime.operator import block_prefix_sums
 
                 fdev = jax.tree.map(lambda a: a[0], fold_blk)
                 partials = jax.lax.dynamic_slice_in_dim(y, V0, region)
-                nb = region // 1024
-                blocks = partials.reshape((nb, 1024) + partials.shape[1:])
-                io = jnp.arange(1024)
-                U = (io[:, None] <= io[None, :]).astype(y.dtype)
-                if partials.ndim == 1:
-                    cs = jnp.matmul(
-                        blocks, U, precision=jax.lax.Precision.HIGHEST
-                    ).reshape(-1)
-                else:
-                    cs = jnp.einsum(
-                        "njb,jk->nkb", blocks, U,
-                        precision=jax.lax.Precision.HIGHEST,
-                    ).reshape((region,) + partials.shape[1:])
+                cs = block_prefix_sums(partials, region)
                 interp = self.mesh.devices.flat[0].platform != "tpu"
                 y = y + spmv_pallas(fdev, cs, interpret=interp)[:n_loc]
             return y[None]

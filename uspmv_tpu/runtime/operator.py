@@ -72,7 +72,33 @@ def use_lane_tiles(config: Config) -> bool:
     )
 
 
-AUTOTUNE_FILL = 0.5  # probe alternative split thresholds below this fill
+# Probe alternative split thresholds below this fill. Gate deliberately
+# conservative: measured on a v5e, splitting at fill ~0.5-0.6 (FemTet3D,
+# StokesSaddle) is NEUTRAL end-to-end (fill gain ~ fold cost, within the
+# tunnel's +-20% noise) while costing 60-80 s of probe time; below ~0.5
+# (power-law tails) it wins 4-5x.
+AUTOTUNE_FILL = 0.5
+
+
+def _post_split_lengths(counts: np.ndarray, th: int) -> np.ndarray:
+    """Exact row-length sequence after splitting at ``th``, in layout
+    order: originals clamped to th, then each parent's virtual pieces
+    ([th]*(k-2) full pieces + the remainder) in parent order. Remainders
+    matter: counting them as full th (the old approximation) overstates
+    the tile bound ~2x on block matrices whose rows are just over th
+    (e.g. 27-nnz velocity rows at th=24 leave 3-element pieces, not 24)."""
+    n_pieces = np.maximum((counts + th - 1) // th, 1)
+    have_virt = n_pieces > 1
+    reps = np.where(have_virt, n_pieces - 1, 0)
+    tot = int(reps.sum())
+    virt = np.full(tot, th, dtype=np.int64)
+    if tot:
+        ends = np.cumsum(reps[have_virt]) - 1
+        rem = counts[have_virt] - th * (n_pieces[have_virt] - 1)
+        virt[ends] = rem
+    return np.concatenate([np.minimum(counts, th), virt])
+
+
 # Per-virtual-row fold cost in tile-equivalents. The virtual-row fold is a
 # scatter-add; XLA lowers TPU scatters to ~9 ns/index (measured 2.3 ms at
 # 267k indices, sorted + hinted) versus ~11.7 ns/tile kernel streaming, so
@@ -134,15 +160,12 @@ def _autotune_lane_split(mtx: MtxData, config: Config, C: int, sigma: int):
         probes without paying their conversion (a no-split probe on a
         1308-max-row matrix would otherwise convert 400M padded
         elements)."""
-        n_virt_per_row = np.maximum((counts + th - 1) // th - 1, 0)
-        lens2 = np.concatenate([
-            np.minimum(counts, th),
-            np.full(int(n_virt_per_row.sum()), th, dtype=np.int64),
-        ])
+        lens2 = _post_split_lengths(counts, th)
+        n_virtual = lens2.size - counts.size
         n_pad = ((lens2.size + C - 1) // C) * C
         lens2 = np.pad(lens2, (0, n_pad - lens2.size))
         tiles = int(lens2.reshape(-1, C).max(axis=1).sum())
-        return tiles + fold_cost(th, int(n_virt_per_row.sum()))
+        return tiles + fold_cost(th, n_virtual)
 
     def probe(th):
         m2, _parent = split_heavy_rows(mtx, th)
@@ -191,15 +214,11 @@ def analytic_split_threshold(mtx: MtxData, C: int) -> Optional[int]:
     default_th = int(min(max(4 * mean, 32), 1024))
 
     def bound(th):
-        n_virt = np.maximum((counts + th - 1) // th - 1, 0)
-        lens2 = np.concatenate([
-            np.minimum(counts, th),
-            np.full(int(n_virt.sum()), th, dtype=np.int64),
-        ])
+        lens2 = _post_split_lengths(counts, th)
+        nv = lens2.size - counts.size
         n_pad = ((lens2.size + C - 1) // C) * C
         lens2 = np.pad(lens2, (0, n_pad - lens2.size))
         tiles = int(lens2.reshape(-1, C).max(axis=1).sum())
-        nv = int(n_virt.sum())
         fold = 0.0 if nv == 0 else (
             2.0 * -(-counts.size // 1024) + nv / 1024.0 + 64.0
         )
@@ -215,6 +234,41 @@ def analytic_split_threshold(mtx: MtxData, C: int) -> Optional[int]:
     if best_th != default_th and best_b < 0.7 * b0:
         return best_th
     return None
+
+
+def block_prefix_sums(partials, region: int):
+    """Inclusive prefix sums within each 1024-entry block of the virtual
+    region, hierarchically: a (128x128) triangular matmul gives the prefix
+    within each 128-lane row (V*128*2 flops — 8x cheaper than one
+    1024-wide triangular matmul, which measured ~64 us at V=800k and ate
+    the fold's gains), then an 8-long cumsum carries across sublane rows.
+    HIGHEST precision keeps f32 semantics on the MXU. Supports trailing
+    block-vector dims."""
+    nb = region // 1024
+    rest = partials.shape[1:]
+    blocks = partials.reshape((nb, TILE_J_FOLD, 128) + rest)
+    io = jnp.arange(128)
+    U = (io[:, None] <= io[None, :]).astype(partials.dtype)
+    if rest:
+        intra = jnp.einsum(
+            "nijb,jk->nikb", blocks, U,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rowtot = intra[:, :, -1, :]
+        carry = jnp.cumsum(rowtot, axis=1) - rowtot
+        cs = intra + carry[:, :, None, :]
+    else:
+        intra = jnp.einsum(
+            "nij,jk->nik", blocks, U,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rowtot = intra[:, :, -1]
+        carry = jnp.cumsum(rowtot, axis=1) - rowtot
+        cs = intra + carry[:, :, None]
+    return cs.reshape((region,) + rest)
+
+
+TILE_J_FOLD = 8  # sublane rows per 1024-entry fold block
 
 
 def _build_fold_dev(fold_idx, n_rows_padded, device, block_vec_size=1):
@@ -562,19 +616,7 @@ class SpmvOperator:
                 # kernel. ~2 orders of magnitude faster than the XLA
                 # scatter at 100k+ virtual rows.
                 partials = jax.lax.dynamic_slice_in_dim(y, n_real, region)
-                nb = region // 1024
-                blocks = partials.reshape((nb, 1024) + partials.shape[1:])
-                io = jnp.arange(1024)
-                U = (io[:, None] <= io[None, :]).astype(y.dtype)
-                if partials.ndim == 1:
-                    cs = jnp.matmul(
-                        blocks, U, precision=jax.lax.Precision.HIGHEST
-                    ).reshape(-1)
-                else:
-                    cs = jnp.einsum(
-                        "njb,jk->nkb", blocks, U,
-                        precision=jax.lax.Precision.HIGHEST,
-                    ).reshape((region,) + partials.shape[1:])
+                cs = block_prefix_sums(partials, region)
                 return y + impl(args["fold"], cs)
             if split is not None:
                 # heavy-row splitting: fold virtual-row partials into their
