@@ -199,7 +199,7 @@ def dist_op(mtx, **kw):
     return DistributedSpmvOperator.from_mtx(cfg, mtx)
 
 
-@pytest.mark.parametrize("comm_mode", ["bulkvec", "allgather"])
+@pytest.mark.parametrize("comm_mode", ["bulkvec", "graphtopo", "allgather"])
 @pytest.mark.parametrize("seg", ["seg-rows", "seg-nnz", "seg-metis"])
 def test_distributed_spmv_matches_scipy(comm_mode, seg):
     mtx = read_mtx(matrix_path("FDM-2d-16.mtx"))

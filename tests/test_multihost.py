@@ -27,7 +27,7 @@ def _free_port() -> int:
     return port
 
 
-def _launch(cli_args, pid, port, tmp_path, n=2):
+def _launch(cli_args, pid, port, tmp_path, n=2, local_devices=2):
     env = dict(os.environ)
     # the bootstrap pins the platform itself (axon force-prepends over
     # JAX_PLATFORMS, so conftest's env vars must not leak in)
@@ -39,7 +39,7 @@ def _launch(cli_args, pid, port, tmp_path, n=2):
             sys.executable, "-m", "uspmv_tpu.cli", *cli_args,
             "-coordinator", f"localhost:{port}",
             "-n_processes", str(n), "-process_id", str(pid),
-            "-local_devices", "2", "-backend", "cpu",
+            "-local_devices", str(local_devices), "-backend", "cpu",
             "-mtx_out", str(tmp_path),
         ],
         cwd=REPO, env=env, text=True,
@@ -47,9 +47,13 @@ def _launch(cli_args, pid, port, tmp_path, n=2):
     )
 
 
-def _run_cluster(cli_args, tmp_path, timeout=300):
+def _run_cluster(cli_args, tmp_path, timeout=300, n=2, local_devices=2):
     port = _free_port()
-    procs = [_launch(cli_args, pid, port, tmp_path) for pid in range(2)]
+    procs = [
+        _launch(cli_args, pid, port, tmp_path, n=n,
+                local_devices=local_devices)
+        for pid in range(n)
+    ]
     outs = []
     for p in procs:
         try:
@@ -89,6 +93,25 @@ def test_two_process_bench_reports_per_host_comm_volume(tmp_path):
     assert "host0=" in out and "host1=" in out, out
     # per-shard lines (reference per-rank gather) under -verbose
     assert "shard 0:" in out and "shard 3:" in out, out
+
+
+def test_four_process_one_device_each(tmp_path):
+    """4 processes x 1 device: EVERY halo exchange crosses a process
+    boundary and the host boundaries are asymmetric under seg-nnz (the
+    reference's multi-node case, validate_multi_proc.sh with -np 4)."""
+    args = [
+        "Laplace2D,20", "scs", "-c", "8", "-s", "16", "-mode", "s",
+        "-rev", "2", "-n_shards", "4", "-seg_method", "seg-nnz",
+        "-rand_x", "1", "-json",
+    ]
+    rcs, outs = _run_cluster(args, tmp_path, n=4, local_devices=1)
+    assert rcs == [0, 0, 0, 0], outs
+    import json
+
+    line = [l for l in outs[0].splitlines() if l.startswith("{")][-1]
+    rep = json.loads(line)["validation"]
+    assert rep["flag"] == "OK"
+    assert rep["max_rel_diff"] < 1e-13
 
 
 def test_two_process_result_exact_vs_oracle(tmp_path):

@@ -258,13 +258,50 @@ def test_dp_emulation_interpret_and_structure():
 
 
 def test_dp_emulation_config_gates():
-    with pytest.raises(ValueError, match="value_type dp"):
+    with pytest.raises(ValueError, match="dp value stream"):
         Config(value_type="sp", dp_emulation=True).validate()
+    with pytest.raises(ValueError, match="dp value stream"):
+        Config(value_type="ap[sp_hp]", dp_emulation=True,
+               ap_threshold_1=1.0).validate()
+    # ap[dp_*] mixes ARE allowed (the dp partition runs the df64 kernel)
+    Config(value_type="ap[dp_sp]", dp_emulation=True,
+           ap_threshold_1=1.0).validate()
     with pytest.raises(ValueError, match="block_vec_size"):
         Config(value_type="dp", dp_emulation=True,
                block_vec_size=2).validate()
     with pytest.raises(ValueError, match="single-device"):
         Config(value_type="dp", dp_emulation=True, n_shards=2).validate()
+
+
+def test_ap_df64_mixed_streams():
+    """ap[dp_sp] under -dp_emu: the dp partition runs the double-float
+    kernel ((hi, lo) pairs, error-free TwoProd/TwoSum — ap_kernels.hpp
+    accumulates everything in double; our sp partials carry f32
+    accumulation, a documented deviation) while sp reads the hi component.
+    Exactness margins are asserted on-chip by scripts/check_dp_emu.py."""
+    from uspmv_tpu.io.generators import laplace2d
+    from uspmv_tpu.ops.pallas_scs import DeviceLaneTiles
+    from uspmv_tpu.runtime.operator import SpmvOperator
+
+    rng = np.random.default_rng(1)
+    mtx = laplace2d(48)
+    mtx.values[:] = mtx.values * np.exp(rng.standard_normal(mtx.nnz))
+    th = float(np.median(np.abs(mtx.values)))
+    cfg = Config(kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
+                 value_type="ap[dp_sp]", ap_threshold_1=th,
+                 dp_emulation=True, backend="cpu")
+    op = SpmvOperator.from_mtx(cfg, mtx)
+    assert op.impl_name() == "pallas-lane-tiles-df64"
+    assert op.devs["dp"].df64 and not op.devs["sp"].df64
+    npp = op.nnz_per_precision()
+    assert npp["dp"] > 0 and npp["sp"] > 0
+    assert npp["dp"] + npp["sp"] == mtx.nnz
+    x = rng.standard_normal(mtx.n_rows)
+    y = op.to_host(np.asarray(op.spmv(op.make_x(x))))
+    ref = mtx.to_scipy().tocsr() @ x
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    # sp partition quantization dominates (~1e-7); interpret-path slack
+    assert rel < 5e-5, rel
 
 
 def test_operator_selects_lane_tiles():

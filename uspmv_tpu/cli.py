@@ -23,7 +23,7 @@ Mirrors the reference binary's CLI (parse_cli_inputs, utilities.hpp:
     -equilibrate 0|1     row/col max-abs scaling
     -seg_method M        seg-rows|seg-nnz|seg-metis
     -n_shards N          devices along the row mesh axis [1]
-    -comm_mode M         bulkvec|multivec|singlevec|allgather
+    -comm_mode M         bulkvec|multivec|singlevec|graphtopo|allgather
     -comm_halos 0|1, -ba_synch 0|1, -par_pack 0|1, -no_pack 0|1
     -print_comm_vol 0|1
     -split_rows_threshold N   heavy-row splitting (0=auto, -1=off)
@@ -95,7 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-n_shards", type=int, default=1)
     p.add_argument(
         "-comm_mode",
-        choices=["bulkvec", "multivec", "singlevec", "allgather"],
+        choices=["bulkvec", "multivec", "singlevec", "graphtopo",
+                 "allgather"],
         default="bulkvec",
     )
     p.add_argument("-comm_halos", type=int, choices=[0, 1], default=1)
@@ -123,6 +124,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="auto = our kernels (Pallas on TPU); xla = force the XLA "
         "path; bcoo = independent jax.experimental.sparse baseline "
         "(cuSPARSE-comparison analogue)",
+    )
+    p.add_argument(
+        "-no_retile", action="store_true",
+        help="disable the re-tiling engine: execute the literal (C, sigma) "
+        "layout instead of re-packing into physical 1024-row lane-tile "
+        "chunks (expect ~3 orders of magnitude lower TPU throughput for "
+        "C != 1024)",
     )
     p.add_argument("-debug", type=int, choices=[0, 1], default=0,
                    help="DEBUG_MODE_FINE analogue: stage dumps + checks")
@@ -187,6 +195,7 @@ def config_from_args(args) -> Config:
         dp_emulation=bool(args.dp_emu),
         use_pallas=(args.impl == "auto"),
         impl=args.impl,
+        retile=not args.no_retile,
         output_dir=args.output_dir,
         matrix_file_name=args.matrix,
         seed=args.seed,
@@ -338,9 +347,17 @@ def main(argv=None) -> int:
                 jacobi_scale_matrix(mtx_oracle)
             if cfg.equilibrate:
                 equilibrate_matrix(mtx_oracle)
+        # bf16 bound scales with the bf16-partition nnz fraction (an AP
+        # mix dominated by dp/sp must be held near the tighter bound)
+        npp = op.nnz_per_precision()
+        hp_frac = (
+            npp.get("hp", 0) / max(sum(npp.values()), 1)
+            if cfg.is_ap else 1.0
+        )
         rep = validate_solve(
             mtx_oracle, x0, np.asarray(y_host, dtype=np.float64),
             cfg.n_repetitions, value_type=cfg.value_type,
+            hp_nnz_fraction=hp_frac,
         )
         if primary:
             write_result_to_file(cfg, rep, cfg.n_repetitions)

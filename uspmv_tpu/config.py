@@ -30,8 +30,11 @@ SEG_METHODS = ("seg-rows", "seg-nnz", "seg-metis")
 VECTOR_LAYOUTS = ("colwise", "rowwise")
 # Reference MPI message-batching modes (Makefile:199-218). On TPU,
 # "bulkvec" (all RHS columns in one collective) is the natural mode;
+# "graphtopo" (the reference's MPI_Neighbor_alltoallv graph-topology mode)
+# is accepted and collapses to the same schedule — XLA's static per-offset
+# ppermute plan IS the neighbor topology, precomputed at plan time;
 # "allgather" is our additional naive/robust mode with no reference analogue.
-COMM_MODES = ("singlevec", "multivec", "bulkvec", "allgather")
+COMM_MODES = ("singlevec", "multivec", "bulkvec", "graphtopo", "allgather")
 
 
 def dtype_for(prec: str):
@@ -123,6 +126,13 @@ class Config:
     # baseline (the cuSPARSE-comparison analogue, utilities.hpp:3380-3550)
     impl: str = "auto"
     tile_elems: int = 1024  # elements per device tile (8x128)
+    # Re-tiling engine: treat the user's (C, sigma) — and CRS — as the
+    # LOGICAL format (row permutation + reported beta) but pack the
+    # permuted matrix into physical 1024-row lane-tile chunks for
+    # execution. The un-permuted y is identical; without this, every
+    # C != 1024 lands on the scalarized XLA gather path (~0.2 GFLOP/s on
+    # TPU vs ~140+ re-tiled). -no_retile restores literal-C execution.
+    retile: bool = True
 
     # --- reporting (reference: output_filename_*) ---
     output_dir: str = "."
@@ -158,8 +168,10 @@ class Config:
         if self.impl not in ("auto", "xla", "bcoo"):
             raise ValueError("impl must be one of ('auto', 'xla', 'bcoo')")
         if self.dp_emulation:
-            if self.value_type != "dp":
-                raise ValueError("-dp_emu requires value_type dp")
+            if "dp" not in self.ap_precisions:
+                raise ValueError(
+                    "-dp_emu requires a dp value stream (dp or ap[dp_*])"
+                )
             if self.block_vec_size > 1:
                 raise ValueError("-dp_emu supports block_vec_size 1 only")
             if self.n_shards > 1:

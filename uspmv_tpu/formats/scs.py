@@ -313,6 +313,93 @@ def convert_to_scs(
     )
 
 
+def sigma_window_perm(
+    row_counts: np.ndarray, n_rows: int, C: int, sigma: int
+) -> tuple:
+    """Logical SELL-C-sigma row permutation from row nnz counts alone (no
+    conversion): rows padded to ceil(n_rows/C)*C, sorted descending by count
+    within each sigma-window (stable on ties — reference utilities.hpp:
+    1930-1942 uses std::sort, so exact tie order is unspecified there).
+
+    Returns ``(old_to_new_full [n_rows_padded] int32, n_rows_padded)``.
+    Used by the re-tiling engine (runtime/operator.py): the user's (C,
+    sigma) defines the row order and the reported beta while execution
+    packs the permuted rows into physical 1024-row lane-tile chunks.
+    """
+    n_chunks = (n_rows + C - 1) // C
+    n_rows_padded = n_chunks * C
+    counts = np.zeros(n_rows_padded, dtype=np.int64)
+    counts[:n_rows] = np.asarray(row_counts[:n_rows], dtype=np.int64)
+    order = np.empty(n_rows_padded, dtype=np.int64)
+    for lo in range(0, n_rows_padded, sigma):
+        hi = min(lo + sigma, n_rows_padded)
+        order[lo:hi] = lo + np.argsort(-counts[lo:hi], kind="stable")
+    old_to_new = np.empty(n_rows_padded, dtype=np.int32)
+    old_to_new[order] = np.arange(n_rows_padded, dtype=np.int32)
+    return old_to_new, n_rows_padded
+
+
+def logical_elements(
+    row_counts: np.ndarray, old_to_new_full: np.ndarray, C: int
+) -> int:
+    """Element count (nnz + padding) of the LOGICAL SELL-C-sigma format a
+    matrix with these per-row nnz counts would occupy under the given full
+    row permutation — i.e. the denominator of the reported beta
+    (reference main.cpp:693), computed without materializing the arrays."""
+    n_rows_padded = old_to_new_full.shape[0]
+    assert n_rows_padded % C == 0
+    cs = np.zeros(n_rows_padded, dtype=np.int64)
+    n = min(len(row_counts), n_rows_padded)
+    cs[np.asarray(old_to_new_full[:n])] = np.asarray(
+        row_counts[:n], dtype=np.int64
+    )
+    return int(cs.reshape(-1, C).max(axis=1).sum()) * C
+
+
+def convert_to_scs_retiled(
+    mtx: MtxData,
+    C_log: int,
+    sigma_log: int,
+    dtype=None,
+    fixed_logical_perm: Optional[np.ndarray] = None,
+    C_phys: int = 1024,
+) -> tuple:
+    """COO -> physical SELL-C_phys-1 carrying the LOGICAL SELL-C-sigma row
+    order (the re-tiling engine). The user's (C, sigma) is treated as a
+    *logical* format: it defines the row permutation (sigma-window sort)
+    and the reported beta, exactly as the reference's C-parametric kernels
+    would see it (kernels.hpp:216-301) — but execution packs the permuted
+    matrix into physical ``C_phys``-row chunks, the TPU-native 8-sublane x
+    128-lane tile. The un-permuted y is identical; only the padding/layout
+    differs.
+
+    ``fixed_logical_perm`` forces a caller-supplied full logical
+    permutation (adaptive-precision sub-matrices share the primary's,
+    reference main.cpp:1170-1221).
+
+    Returns ``(scs_physical, logical_perm_full, logical_n_elements)``.
+    """
+    counts = np.bincount(mtx.I, minlength=mtx.n_rows).astype(np.int64)
+    if fixed_logical_perm is not None:
+        lperm = np.asarray(fixed_logical_perm, dtype=np.int32)
+        lpad = lperm.shape[0]
+        fixed: Optional[np.ndarray] = lperm
+    else:
+        lperm, lpad = sigma_window_perm(counts, mtx.n_rows, C_log, sigma_log)
+        fixed = None if sigma_log == 1 else lperm
+    lelems = logical_elements(counts, lperm, C_log)
+    m = mtx if dtype is None else mtx.astype(dtype)
+    if fixed is not None and lpad > m.n_rows:
+        # rows can land beyond ceil(n_rows/C_phys)*C_phys when the logical
+        # padding exceeds the physical one (C_log > C_phys, e.g. ELL);
+        # extend with empty rows so the fixed permutation stays in range
+        m = MtxData.from_arrays(
+            m.I, m.J, m.values, n_rows=lpad, n_cols=m.n_cols
+        )
+    scs = convert_to_scs(m, C_phys, 1, fixed_permutation=fixed)
+    return scs, lperm, lelems
+
+
 def permute_scs_cols(scs: ScsData, perm: np.ndarray) -> None:
     """Symmetric column permutation: col_idxs[e] = perm[col_idxs[e]]
     (reference permute_scs_cols, utilities.hpp:1802-1831). ``perm`` must

@@ -19,7 +19,9 @@ from typing import Optional
 
 import numpy as np
 
-_LIB_NAME = "libuspmv_host.so"
+# USPMV_NATIVE_LIB selects an alternate build of the library (the ASAN/
+# UBSAN variants from native/Makefile, driven by scripts/native_sanitize.sh)
+_LIB_NAME = os.environ.get("USPMV_NATIVE_LIB", "libuspmv_host.so")
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _NATIVE_SRC_DIR = os.path.join(_HERE, "..", "..", "native")
 
@@ -38,15 +40,27 @@ def _try_build() -> bool:
     if not os.path.exists(makefile):
         return False
     try:
-        subprocess.run(
-            ["make", "-s"],
-            cwd=_NATIVE_SRC_DIR,
-            check=True,
-            capture_output=True,
-            timeout=300,
-        )
+        # serialize concurrent builds across PROCESSES (multi-host runs
+        # spawn several importing processes; two concurrent makes racing on
+        # libuspmv_host.so can nondeterministically break dlopen/the ABI
+        # check and silently drop a process to the slow Python packer)
+        import fcntl
+
+        lockpath = os.path.join(_NATIVE_SRC_DIR, ".build.lock")
+        with open(lockpath, "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                subprocess.run(
+                    ["make", "-s"],
+                    cwd=_NATIVE_SRC_DIR,
+                    check=True,
+                    capture_output=True,
+                    timeout=300,
+                )
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
         return True
-    except (subprocess.SubprocessError, OSError):
+    except (subprocess.SubprocessError, OSError, ImportError):
         return False
 
 

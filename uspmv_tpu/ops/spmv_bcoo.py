@@ -126,7 +126,13 @@ class BcooSpmvOperator:
             mat = next(iter(devs.values())).mat
             # low-precision values x full-precision accumulation, matching
             # the main path's semantics (values stream in value_type, the
-            # product accumulates in the working dtype)
+            # product accumulates in the working dtype). BCOO's matvec
+            # accumulates in the operand dtype, so for 2-byte values (hp)
+            # the data is widened to the accumulator dtype BEFORE the
+            # matmul — bf16 quantization stays (stored values), bf16
+            # accumulation does not (ADVICE r2)
+            if mat.data.dtype.itemsize < jnp.dtype(acc).itemsize:
+                mat = mat.astype(acc)
             return (mat @ x.astype(mat.data.dtype)).astype(acc)
 
         if bs > 1 and layout == "colwise":

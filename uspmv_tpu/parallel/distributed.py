@@ -38,7 +38,7 @@ from ..formats.coo import (
     generate_inv_perm,
     jacobi_scale_matrix,
 )
-from ..formats.scs import ScsData, convert_to_scs
+from ..formats.scs import ScsData, convert_to_scs, convert_to_scs_retiled
 from ..ops.device_format import DeviceScs, build_device_scs
 from ..ops.spmv_xla import spmv_flat, spmv_tiled
 from ..ops.vectors import init_x_host
@@ -165,6 +165,9 @@ class DistributedSpmvOperator:
     # matrix + (common region offset V0, common region length)
     fold_dev: Optional[object] = None
     fold_region: tuple = (0, 0)
+    # re-tiling engine: logical (user C, sigma) beta per precision
+    logical_beta: Optional[Dict[str, float]] = None
+    retiled: bool = False
     _jit_spmv: Optional[object] = None
 
     # ------------------------------------------------------------------ build
@@ -192,14 +195,22 @@ class DistributedSpmvOperator:
             # rows are disjoint — and cleaner column scaling)
             lr, lc = equilibrate_matrix(mtx)
 
-        C = config.chunk_size if config.kernel_format == "scs" else 1
-        sigma = config.sigma if config.kernel_format == "scs" else 1
+        from ..ops.packer import CHUNK_ROWS
+
+        C_log = config.chunk_size if config.kernel_format == "scs" else 1
+        sigma_log = config.sigma if config.kernel_format == "scs" else 1
 
         # --- heavy-row splitting plan (lane-tile shards only) ---
         # virtual rows are LOCAL to each shard, placed at a COMMON region
         # offset V0 so one shard_map program can slice every shard's
         # partials at the same position for the vectorized fold
         from ..runtime.operator import analytic_split_threshold, use_lane_tiles
+
+        # re-tiling engine (see runtime/operator.py): each shard's logical
+        # (C, sigma) packs into physical 1024-row lane-tile chunks
+        retiled = use_lane_tiles(config) and C_log != CHUNK_ROWS
+        C = CHUNK_ROWS if retiled else C_log
+        sigma = sigma_log
 
         do_split = (
             config.split_rows_threshold >= 0
@@ -220,6 +231,7 @@ class DistributedSpmvOperator:
         # --- per-shard local COO (global cols) -> per-precision SCS ---
         precisions = config.ap_precisions
         scs: Dict[str, List[ScsData]] = {p: [] for p in precisions}
+        logical_elems: Dict[str, int] = {p: 0 for p in precisions}
         shard_perms: List[np.ndarray] = []
         n_dropped = 0
         for r in range(R):
@@ -252,18 +264,40 @@ class DistributedSpmvOperator:
                     dropout_threshold=config.dropout_threshold,
                 )
                 n_dropped += dr
-                primary = convert_to_scs(subs[precisions[0]], C, sigma)
-                scs[precisions[0]].append(primary)
-                for p in precisions[1:]:
-                    scs[p].append(
-                        convert_to_scs(
-                            subs[p], C, sigma,
-                            fixed_permutation=primary.old_to_new_idx,
-                        )
+                if retiled:
+                    primary, lperm, le = convert_to_scs_retiled(
+                        subs[precisions[0]], C_log, sigma_log
                     )
+                    scs[precisions[0]].append(primary)
+                    logical_elems[precisions[0]] += le
+                    for p in precisions[1:]:
+                        s_p, _, le = convert_to_scs_retiled(
+                            subs[p], C_log, sigma_log,
+                            fixed_logical_perm=lperm,
+                        )
+                        scs[p].append(s_p)
+                        logical_elems[p] += le
+                else:
+                    primary = convert_to_scs(subs[precisions[0]], C, sigma)
+                    scs[precisions[0]].append(primary)
+                    for p in precisions[1:]:
+                        scs[p].append(
+                            convert_to_scs(
+                                subs[p], C, sigma,
+                                fixed_permutation=primary.old_to_new_idx,
+                            )
+                        )
             else:
                 p = precisions[0]
-                primary = convert_to_scs(local.astype(dtype_for(p)), C, sigma)
+                if retiled:
+                    primary, _, le = convert_to_scs_retiled(
+                        local, C_log, sigma_log, dtype=dtype_for(p)
+                    )
+                    logical_elems[p] += le
+                else:
+                    primary = convert_to_scs(
+                        local.astype(dtype_for(p)), C, sigma
+                    )
                 scs[p].append(primary)
             # truncated to the REAL rows: virtual rows never appear in
             # make_x/to_host (sigma=1 keeps the identity prefix)
@@ -323,13 +357,13 @@ class DistributedSpmvOperator:
 
             # common step width + group size across shards (the stacked
             # kernel is one program); estimated from the average shard
-            est_tiles = max(mtx.nnz // R // (config.chunk_size or 1), 1)
+            est_tiles = max(mtx.nnz // R // (C or 1), 1)
             tps = auto_tiles_per_step(est_tiles)
             # colwise SpMMV runs vmapped per vector: only one RHS is ever
             # resident, so VMEM budgets use the effective per-launch bs
             eff_bs = (config.block_vec_size
                       if config.vector_layout == "rowwise" else 1)
-            cpg = resolve_chunks_per_group(n_loc // config.chunk_size, eff_bs)
+            cpg = resolve_chunks_per_group(n_loc // C, eff_bs)
 
             def build_stack(structs, p, x_len):
                 # one window size for the whole stack (the stacked kernel
@@ -413,6 +447,20 @@ class DistributedSpmvOperator:
             )
 
             try:
+                # fold devices are built with x_window=False, which skips
+                # the builder's own VMEM fit check; a cs buffer beyond the
+                # budget would otherwise die at Mosaic compile time with an
+                # opaque error instead of engaging the no-split rebuild
+                # below (ADVICE r2)
+                from ..ops.pallas_scs import lane_tiles_fit as _fit
+
+                eff_bs_fold = (config.block_vec_size
+                               if config.vector_layout == "rowwise" else 1)
+                if not _fit(fold_region_max, eff_bs_fold):
+                    raise LaneTileBudgetError(
+                        f"fold virtual region ({fold_region_max} rows x "
+                        f"bs={eff_bs_fold}) exceeds the VMEM x budget"
+                    )
                 cpg_f = resolve_chunks_per_group(n_loc // C)
                 folds = []
                 for r in range(R):
@@ -476,6 +524,15 @@ class DistributedSpmvOperator:
             n_dropped=n_dropped,
             fold_dev=fold_dev,
             fold_region=(V0, fold_region_max),
+            logical_beta=(
+                {
+                    p: (sum(s.nnz for s in scs[p]) / logical_elems[p]
+                        if logical_elems[p] else 1.0)
+                    for p in precisions
+                }
+                if retiled else None
+            ),
+            retiled=retiled,
         )
         op._place()
         return op
@@ -558,7 +615,13 @@ class DistributedSpmvOperator:
         """Raw (unjitted) sharded step fn(args, x):
         [R, n_loc(, bs)] -> [R, n_loc(, bs)]."""
         cfg = self.config
-        if cfg.kernel_format == "crs":
+        from ..ops.pallas_scs import DeviceLaneTiles
+
+        lane = any(
+            isinstance(d, DeviceLaneTiles) for d in self.devs.values()
+        )
+        if cfg.kernel_format == "crs" and not lane:
+            # literal CRS execution (-no_retile / XLA fallback)
             impl = spmv_flat
         else:
             # spmv_pallas dispatches on struct type: lane tiles run the
@@ -774,6 +837,11 @@ class DistributedSpmvOperator:
         return out
 
     def beta(self):
+        """Fill efficiency of the user's LOGICAL (C, sigma) format — see
+        SpmvOperator.beta(); under re-tiling the physical packing is
+        reported by device_beta()."""
+        if self.logical_beta is not None:
+            return dict(self.logical_beta)
         return {
             p: float(np.mean([s.beta for s in lst])) for p, lst in self.scs.items()
         }

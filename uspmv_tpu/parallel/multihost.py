@@ -65,6 +65,16 @@ def initialize(
     if local_devices:
         jax.config.update("jax_num_cpu_devices", int(local_devices))
 
+    # explicit cluster arguments require the coordinator address: jax's
+    # auto-detection cannot fill it in when the process count/id came from
+    # our flags, and letting it fail inside jax.distributed produces a
+    # confusing internal error instead of naming the missing flag
+    if (n_processes is not None or process_id is not None) and not coordinator:
+        raise ValueError(
+            "-coordinator HOST:PORT is required when -n_processes or "
+            "-process_id is given explicitly (process 0's host; on TPU "
+            "pods omit all three and let JAX auto-detect the cluster)"
+        )
     kwargs = {}
     if coordinator:
         kwargs["coordinator_address"] = coordinator

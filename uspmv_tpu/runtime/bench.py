@@ -56,6 +56,9 @@ class BenchResult:
     platform: str
     comm_volume_elems: int = 0  # halo elements received per SpMV (distributed)
     impl: str = ""  # kernel implementation actually selected
+    # re-tiling engine: the logical (C, sigma) above was re-packed into
+    # physical 1024-row lane-tile chunks for execution
+    retiled: bool = False
     # final-batch timing samples (median is duration_kernel_s); >1 sample
     # tames the axon tunnel's ±20% run-to-run variance
     timing_samples_s: Optional[list] = None
@@ -207,6 +210,7 @@ def bench_spmv(
         platform=platform,
         comm_volume_elems=comm_elems,
         impl=op.impl_name(),
+        retiled=getattr(op, "retiled", False),
         timing_samples_s=[float(s) for s in samples],
         per_shard=per_shard,
         comm_volume_per_host=(

@@ -29,7 +29,12 @@ from ..formats.coo import (
     jacobi_scale_matrix,
     split_heavy_rows,
 )
-from ..formats.scs import ScsData, convert_to_scs, permute_scs_cols
+from ..formats.scs import (
+    ScsData,
+    convert_to_scs,
+    convert_to_scs_retiled,
+    permute_scs_cols,
+)
 from ..ops.device_format import DeviceScs, build_device_scs
 from ..ops.spmv_xla import spmv_flat, spmv_tiled
 from ..ops.vectors import from_device_layout, init_x_host, to_device_layout
@@ -57,19 +62,27 @@ def resolve_device(config: Config):
 
 
 def use_lane_tiles(config: Config) -> bool:
-    """Whether the Pallas lane-tile kernel applies: SCS with the TPU-native
-    chunk height (1024 rows = 8 sublanes x 128 lanes) and a non-f64 working
-    dtype (dp runs the CPU/XLA validation path, SURVEY.md §7)."""
+    """Whether the Pallas lane-tile kernel applies.
+
+    The kernel's physical chunk height is fixed at 1024 rows (8 sublanes x
+    128 lanes). With ``config.retile`` (default), ANY logical (C, sigma) —
+    CRS included — is re-packed into physical 1024-row chunks for
+    execution while the logical format keeps defining the row permutation
+    and the reported beta (formats.scs.convert_to_scs_retiled), so the
+    reference's canonical ``-c 16 -s 512`` line runs at lane-tile speed
+    instead of the scalarized XLA gather path. f64 still runs the CPU/XLA
+    validation path (SURVEY.md §7) unless -dp_emu selects the df64 kernel.
+    """
     from ..ops.packer import CHUNK_ROWS
 
-    return (
-        config.use_pallas
-        and config.impl == "auto"
-        and config.kernel_format == "scs"
-        and config.chunk_size == CHUNK_ROWS
-        and (np.dtype(config.working_dtype()) != np.float64
-             or config.dp_emulation)  # df64 kernel
-    )
+    if not (config.use_pallas and config.impl == "auto"):
+        return False
+    if (np.dtype(config.working_dtype()) == np.float64
+            and not config.dp_emulation):
+        return False
+    if config.kernel_format == "scs":
+        return config.retile or config.chunk_size == CHUNK_ROWS
+    return config.retile  # crs re-tiles through the same engine
 
 
 # Probe alternative split thresholds below this fill. Gate deliberately
@@ -375,6 +388,10 @@ class SpmvOperator:
     jacobi_diag: Optional[np.ndarray] = None
     equilib: Optional[tuple] = None
     device: Optional[object] = None
+    # re-tiling engine: the user's logical (C, sigma) beta values when the
+    # matrix executes as physical 1024-row lane-tile chunks
+    logical_beta: Optional[Dict[str, float]] = None
+    retiled: bool = False
     # heavy-row splitting: (virtual_pos, parent_pos) in permuted row space;
     # each SpMV adds y[virtual_pos] into y[parent_pos] (scatter fold —
     # the fallback when the vectorized fold below is unavailable)
@@ -404,8 +421,16 @@ class SpmvOperator:
             lr, lc = equilibrate_matrix(mtx)
             equilib = (lr, lc)
 
-        C = config.chunk_size if config.kernel_format == "scs" else 1
-        sigma = config.sigma if config.kernel_format == "scs" else 1
+        from ..ops.packer import CHUNK_ROWS
+
+        C_log = config.chunk_size if config.kernel_format == "scs" else 1
+        sigma_log = config.sigma if config.kernel_format == "scs" else 1
+        # re-tiling engine: the user's (C, sigma) stays the LOGICAL format
+        # (row order + reported beta); execution packs physical 1024-row
+        # chunks (convert_to_scs_retiled)
+        retiled = use_lane_tiles(config) and C_log != CHUNK_ROWS
+        C = CHUNK_ROWS if retiled else C_log
+        sigma = sigma_log
 
         # heavy-row splitting (after scaling, which is per ORIGINAL row;
         # before conversion, whose padding it is there to bound)
@@ -444,9 +469,11 @@ class SpmvOperator:
                     except ValueError:
                         pass  # a parent with >= 1024 pieces: scatter fold
         C, sigma = _guard_scs_explosion(mtx, C, sigma)
+        retiled = retiled and C == CHUNK_ROWS
 
         n_dropped = 0
         scs: Dict[str, ScsData] = {}
+        logical_beta: Optional[Dict[str, float]] = None
         if config.is_ap:
             subs, n_dropped = partition_precisions(
                 mtx,
@@ -462,17 +489,39 @@ class SpmvOperator:
             # highest precision defines the permutation; the rest reuse it
             # (reference main.cpp:1170-1221)
             precs = list(subs)
-            primary = convert_to_scs(subs[precs[0]], C, sigma)
-            scs[precs[0]] = primary
-            for p in precs[1:]:
-                scs[p] = convert_to_scs(
-                    subs[p], C, sigma, fixed_permutation=primary.old_to_new_idx
+            if retiled:
+                primary, lperm, le0 = convert_to_scs_retiled(
+                    subs[precs[0]], C_log, sigma_log
                 )
+                scs[precs[0]] = primary
+                logical_beta = {
+                    precs[0]: subs[precs[0]].nnz / le0 if le0 else 1.0
+                }
+                for p in precs[1:]:
+                    scs[p], _, le = convert_to_scs_retiled(
+                        subs[p], C_log, sigma_log,
+                        fixed_logical_perm=lperm,
+                    )
+                    logical_beta[p] = subs[p].nnz / le if le else 1.0
+            else:
+                primary = convert_to_scs(subs[precs[0]], C, sigma)
+                scs[precs[0]] = primary
+                for p in precs[1:]:
+                    scs[p] = convert_to_scs(
+                        subs[p], C, sigma,
+                        fixed_permutation=primary.old_to_new_idx,
+                    )
         else:
             prec = config.value_type
-            scs[prec] = convert_to_scs(
-                mtx.astype(dtype_for(prec)), C, sigma
-            )
+            if retiled:
+                scs[prec], _, le = convert_to_scs_retiled(
+                    mtx, C_log, sigma_log, dtype=dtype_for(prec)
+                )
+                logical_beta = {prec: mtx.nnz / le if le else 1.0}
+            else:
+                scs[prec] = convert_to_scs(
+                    mtx.astype(dtype_for(prec)), C, sigma
+                )
 
         primary = next(iter(scs.values()))
         old_to_new = primary.old_to_new_idx
@@ -493,8 +542,8 @@ class SpmvOperator:
         from ..ops.pallas_scs import MAX_META_TILES
 
         devs = None
-        if use_lane_tiles(config) and primary.C == config.chunk_size and (
-            max(s.n_elements for s in scs.values()) // config.chunk_size
+        if use_lane_tiles(config) and primary.C == CHUNK_ROWS and (
+            max(s.n_elements for s in scs.values()) // CHUNK_ROWS
             <= MAX_META_TILES
         ):
             from ..ops.packer import resolve_chunks_per_group
@@ -505,7 +554,7 @@ class SpmvOperator:
             eff_bs = (config.block_vec_size
                       if config.vector_layout == "rowwise" else 1)
             cpg = resolve_chunks_per_group(
-                primary.n_rows_padded // config.chunk_size, eff_bs
+                primary.n_rows_padded // CHUNK_ROWS, eff_bs
             )
             try:
                 devs = {
@@ -573,6 +622,8 @@ class SpmvOperator:
             jacobi_diag=jac,
             equilib=equilib,
             device=device,
+            logical_beta=logical_beta,
+            retiled=retiled,
         )
 
     # ------------------------------------------------------------- execution
@@ -600,13 +651,38 @@ class SpmvOperator:
         n_real = self.n_rows
         region = self.fold_region
         use_fold = self.fold_dev is not None
+        # AP x df64 (-dp_emu with ap[dp_*]): the dp stream runs the
+        # double-float kernel on (hi, lo) x pairs while the sp/hp streams
+        # read the hi component and accumulate in f32 (the reference
+        # accumulates everything in double, ap_kernels.hpp:204; our
+        # low-precision partials carry f32 accumulation — documented
+        # deviation, the dp partition keeps ~2^-48)
+        mixed_df64 = any(
+            getattr(d, "df64", False) for d in self.devs.values()
+        ) and any(
+            not getattr(d, "df64", False) for d in self.devs.values()
+        )
 
         def one(args, x):
             devs = args["devs"]
+            y_pair = None  # df64 (hi, lo) result of the dp stream
             y = None
             for dev in devs.values():
-                yk = impl(dev, x)
+                if getattr(dev, "df64", False):
+                    y_pair = impl(dev, x)
+                    continue
+                yk = impl(dev, x[..., 0] if mixed_df64 else x)
                 y = yk if y is None else y + yk
+            if y_pair is not None:
+                if y is not None:
+                    # fold the low-precision partials into the lo slot; the
+                    # pair may become unnormalized, which to_host's exact
+                    # per-component f64 summation absorbs
+                    y = jnp.stack(
+                        [y_pair[..., 0], y_pair[..., 1] + y], axis=-1
+                    )
+                else:
+                    y = y_pair
             if use_fold:
                 # vectorized fold: block-local inclusive prefix sums of
                 # the virtual partials (one triangular matmul on the MXU),
@@ -732,6 +808,11 @@ class SpmvOperator:
         return total
 
     def beta(self) -> Dict[str, float]:
+        """Fill efficiency of the user's LOGICAL (C, sigma) format
+        (reference main.cpp:693) — under re-tiling the physical 1024-row
+        packing differs; see device_beta() for what actually streams."""
+        if self.logical_beta is not None:
+            return dict(self.logical_beta)
         return {p: s.beta for p, s in self.scs.items()}
 
     def device_beta(self) -> Dict[str, float]:

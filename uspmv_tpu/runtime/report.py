@@ -53,6 +53,13 @@ def format_bench_block(cfg: Config, res: BenchResult) -> str:
             f"  [{p}] nnz={res.nnz_per_precision[p]} ({pct:.1f}%) "
             f"beta={res.beta[p]:.4f} device_beta={res.device_beta[p]:.4f}"
         )
+    if res.retiled:
+        lines.append(
+            f"note: logical C={res.C} sigma={res.sigma} re-tiled into "
+            "physical 1024-row lane-tile chunks (row order and beta above "
+            "are the logical format's; -no_retile executes the literal "
+            "layout)"
+        )
     if res.comm_volume_elems:
         lines.append(f"comm volume: {res.comm_volume_elems} halo elems/SpMV")
     if res.n_processes > 1 and res.comm_volume_per_host:
@@ -69,6 +76,14 @@ def format_bench_block(cfg: Config, res: BenchResult) -> str:
             "Makefile:199-218) collapse to one exchange schedule; the only "
             "behavioral split here is per-vector (colwise vmap) vs bulk "
             "(rowwise fused) exchange"
+        )
+    if cfg.comm_mode == "graphtopo":
+        lines.append(
+            "note: comm_mode=graphtopo — the reference's "
+            "MPI_Neighbor_alltoallv graph topology (Makefile:199-218) is "
+            "implicit here: the static per-ring-offset ppermute schedule "
+            "computed at plan time IS the neighbor topology, so this mode "
+            "collapses to the bulkvec schedule"
         )
     if res.per_shard and (cfg.verbose or cfg.print_comm_vol):
         # reference -verbose/-print_comm_vol per-rank block
