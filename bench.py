@@ -75,11 +75,17 @@ def main() -> int:
     extras = {}
     from uspmv_tpu.io.generators import banded_imbalanced, fem_tet3d
 
+    from uspmv_tpu.io.generators import powerlaw_cols
+
     for name, make in (
         ("fem_tet3d_55", lambda: fem_tet3d(55)),  # Queen_4147-class FEM
         ("banded_imbalanced_500k",
          lambda: banded_imbalanced(500_000, bandwidth=64,
                                    avg_nnz_per_row=8, seed=7)),
+        # dlr1-class power-law columns: zero locality, runs the
+        # mixed-chunk tile mode (graceful degradation — the XLA fallback
+        # measures 0.2 GFLOP/s on this class)
+        ("powerlaw_cols_500k", lambda: powerlaw_cols(500_000, 8)),
     ):
         m2 = make()
         op2 = SpmvOperator.from_mtx(Config(

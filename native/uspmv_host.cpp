@@ -126,7 +126,7 @@ USPMV_API const char* uspmv_last_error() { return g_error.c_str(); }
 // Bumped whenever an exported signature changes; the ctypes loader
 // refuses to bind a library whose version differs (a stale .so with the
 // old float* pack_fetch would corrupt memory silently).
-USPMV_API int64_t uspmv_abi_version() { return 2; }
+USPMV_API int64_t uspmv_abi_version() { return 3; }
 
 // Reads a MatrixMarket coordinate file. Returns a handle (or null on error;
 // see uspmv_last_error). Mirrors uspmv_tpu/io/mmio.py:read_mtx.
@@ -752,3 +752,183 @@ USPMV_API void uspmv_pack_fetch(const PackHandle* h, double* vals,
 }
 
 USPMV_API void uspmv_pack_free(PackHandle* h) { delete h; }
+
+// ---------------------------------------------------------------------------
+// Mixed-chunk tile packer (zero-column-locality mode; see
+// uspmv_tpu/ops/packer.py pack_mixed_tiles — this is the fast twin of the
+// Python greedy, bit-identical tile layout: same element walk order
+// (column-sorted per group, stable on flat SCS order), same head-pruned
+// open-tile scan, same selector/sublane bookkeeping).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MixedTile {
+  int32_t w = 0;
+  int32_t group = 0;
+  int32_t band = 0;  // chunk band; chunk-local ids are band*m + selector
+  std::vector<double> vals;    // 8*128 by slot
+  std::vector<int32_t> lane;   // by slot
+  std::vector<int32_t> sel;    // by slot
+  std::vector<int32_t> sub;    // by source lane (i*128 + l)
+  std::vector<uint8_t> s_set;  // by source lane
+  std::vector<uint8_t> occ;    // by slot
+  MixedTile()
+      : vals(kChunkRows, 0.0), lane(kChunkRows, 0), sel(kChunkRows, 0),
+        sub(kChunkRows, 0), s_set(kChunkRows, 0), occ(kChunkRows, 0) {}
+};
+
+struct MixedHandle {
+  int64_t nt = 0;
+  int64_t m = 8;
+  std::vector<double> vals;     // [nt, 8, 128]
+  std::vector<int32_t> src_tab; // [nt, 8, 128]
+  std::vector<int32_t> w_row;   // [nt]
+  std::vector<int32_t> grp;     // [nt]
+  std::vector<int32_t> cls;     // [nt, m]
+};
+
+}  // namespace
+
+USPMV_API MixedHandle* uspmv_pack_mixed_tiles(
+    int64_t n_chunks, int64_t n_rows_padded, const int32_t* chunk_ptrs,
+    const int32_t* chunk_lengths, const int32_t* col_idxs,
+    const double* values, const int32_t* row_counts_new, int64_t x_len,
+    int64_t chunks_per_group, int64_t window_rows, int64_t m_mixed) {
+  (void)n_rows_padded;
+  const int64_t G = chunks_per_group > 0 ? chunks_per_group : kChunksPerGroup;
+  const int64_t wrows = window_rows > 0 ? window_rows : 32;
+  const int64_t kWindow = wrows * kLanes;
+  const int64_t x_rows = std::max((x_len + kLanes - 1) / kLanes, wrows);
+  const int64_t max_wrow = std::max(x_rows - wrows, (int64_t)0);
+  const int64_t m = m_mixed > 0 ? std::min<int64_t>(m_mixed, 8) : 8;
+  const int64_t n_groups = std::max((n_chunks + G - 1) / G, (int64_t)1);
+
+  // BANDED selectors (mirrors the Python packer): chunk band = cl / m,
+  // selector = cl % m; a tile serves one band, its chunk-local ids are
+  // band*m + q — no per-tile chunk-set bookkeeping
+  struct Elem {
+    int32_t col;
+    int32_t band;
+    int32_t sel;
+    int16_t i, j;
+    double val;
+  };
+  std::vector<Elem> elems;
+  std::vector<MixedTile> tiles;
+
+  auto* h = new MixedHandle();
+  h->m = m;
+
+  for (int64_t g = 0; g < n_groups; ++g) {
+    elems.clear();
+    const int64_t c0 = g * G, c1 = std::min(n_chunks, (g + 1) * G);
+    for (int64_t c = c0; c < c1; ++c) {
+      const int64_t L = chunk_lengths[c];
+      const int64_t base = chunk_ptrs[c];
+      const int32_t cl = (int32_t)(c - c0);
+      for (int64_t k = 0; k < L; ++k)
+        for (int64_t r = 0; r < kChunkRows; ++r) {
+          if (row_counts_new[c * kChunkRows + r] <= k) continue;  // padding
+          const int64_t e = base + k * kChunkRows + r;
+          elems.push_back(Elem{col_idxs[e], (int32_t)(cl / m),
+                               (int32_t)(cl % m),
+                               (int16_t)(r >> 7), (int16_t)(r & (kLanes - 1)),
+                               values[e]});
+        }
+    }
+    // stable sort by (band, column); ties keep flat SCS order, matching
+    // the Python packer's np.lexsort((cols, band, group))
+    std::stable_sort(elems.begin(), elems.end(),
+                     [](const Elem& a, const Elem& b) {
+                       if (a.band != b.band) return a.band < b.band;
+                       return a.col < b.col;
+                     });
+    int64_t open_head = (int64_t)tiles.size();
+    int32_t cur_band = -1;
+    for (const Elem& el : elems) {
+      const int64_t col = el.col;
+      const int64_t slot = (int64_t)el.i * kLanes + el.j;
+      if (el.band != cur_band) {
+        cur_band = el.band;
+        open_head = (int64_t)tiles.size();  // bands never share tiles
+      }
+      while (open_head < (int64_t)tiles.size() &&
+             (int64_t)tiles[open_head].w * kLanes + kWindow <= col)
+        ++open_head;
+      bool placed = false;
+      for (int64_t tix = open_head; tix < (int64_t)tiles.size(); ++tix) {
+        MixedTile& t = tiles[tix];
+        const int64_t off = col - (int64_t)t.w * kLanes;
+        if (off >= kWindow || t.occ[slot]) continue;
+        const int32_t lane = (int32_t)(off & (kLanes - 1));
+        const int32_t s = (int32_t)(off >> 7);
+        const int64_t lslot = (int64_t)el.i * kLanes + lane;
+        if (t.s_set[lslot] && t.sub[lslot] != s) continue;
+        t.vals[slot] = el.val;
+        t.lane[slot] = lane;
+        t.sel[slot] = el.sel;
+        t.sub[lslot] = s;
+        t.s_set[lslot] = 1;
+        t.occ[slot] = 1;
+        placed = true;
+        break;
+      }
+      if (!placed) {
+        tiles.emplace_back();
+        MixedTile& t = tiles.back();
+        t.w = (int32_t)std::min(col / kLanes, max_wrow);
+        t.group = (int32_t)g;
+        t.band = el.band;
+        const int64_t off = col - (int64_t)t.w * kLanes;
+        const int32_t lane = (int32_t)(off & (kLanes - 1));
+        const int32_t s = (int32_t)(off >> 7);
+        t.vals[slot] = el.val;
+        t.lane[slot] = lane;
+        t.sel[slot] = el.sel;
+        t.sub[(int64_t)el.i * kLanes + lane] = s;
+        t.s_set[(int64_t)el.i * kLanes + lane] = 1;
+        t.occ[slot] = 1;
+      }
+    }
+  }
+
+  const int64_t nt = std::max((int64_t)tiles.size(), (int64_t)1);
+  h->nt = nt;
+  h->vals.assign(nt * kChunkRows, 0.0);
+  h->src_tab.assign(nt * kChunkRows, 0);
+  h->w_row.assign(nt, 0);
+  h->grp.assign(nt, 0);
+  h->cls.assign(nt * m, 0);
+  for (int64_t k = 0; k < (int64_t)tiles.size(); ++k) {
+    const MixedTile& t = tiles[k];
+    std::copy(t.vals.begin(), t.vals.end(), h->vals.begin() + k * kChunkRows);
+    for (int64_t e = 0; e < kChunkRows; ++e)
+      h->src_tab[k * kChunkRows + e] =
+          (t.sel[e] << 13) | (t.sub[e] << 7) | t.lane[e];
+    h->w_row[k] = t.w;
+    h->grp[k] = t.group;
+    for (int32_t q = 0; q < m; ++q)
+      h->cls[k * m + q] =
+          (int32_t)std::min((int64_t)t.band * m + q, G - 1);
+  }
+  return h;
+}
+
+USPMV_API void uspmv_mixed_sizes(const MixedHandle* h, int64_t* nt,
+                                 int64_t* m) {
+  *nt = h->nt;
+  *m = h->m;
+}
+
+USPMV_API void uspmv_mixed_fetch(const MixedHandle* h, double* vals,
+                                 int32_t* src_tab, int32_t* w_row,
+                                 int32_t* grp, int32_t* cls) {
+  memcpy(vals, h->vals.data(), h->vals.size() * 8);
+  memcpy(src_tab, h->src_tab.data(), h->src_tab.size() * 4);
+  memcpy(w_row, h->w_row.data(), h->w_row.size() * 4);
+  memcpy(grp, h->grp.data(), h->grp.size() * 4);
+  memcpy(cls, h->cls.data(), h->cls.size() * 4);
+}
+
+USPMV_API void uspmv_mixed_free(MixedHandle* h) { delete h; }

@@ -1,0 +1,160 @@
+"""Mixed-chunk tiles — the zero-column-locality mode (VERDICT r2 item 3).
+
+Chunk-local lane-tile packing caps fill at chunk_nnz*window/col_span;
+random/power-law columns land at ~0.02 and blow the SMEM tile budget into
+the 0.2 GFLOP/s XLA fallback. Mixed tiles pool elements from up to
+M_MIXED chunks of one output group (banded selectors: chunk-local id =
+band*m + sel, sel in src16 bits 12-14) at the cost of m masked
+read-modify-writes per tile.
+"""
+
+import numpy as np
+import pytest
+
+from uspmv_tpu.config import Config
+from uspmv_tpu.formats.coo import split_heavy_rows
+from uspmv_tpu.formats.scs import convert_to_scs
+from uspmv_tpu.io.generators import generate_matrix, random_imbalanced
+from uspmv_tpu.ops.packer import (
+    LANES,
+    MIXED_SEL_SHIFT,
+    TILE_J,
+    pack_mixed_tiles,
+)
+
+
+@pytest.fixture(scope="module")
+def rand_scs():
+    mtx = random_imbalanced(12_000, 8, seed=3)
+    m2, _ = split_heavy_rows(mtx, 32)
+    return convert_to_scs(m2.astype(np.float32), 1024, 1)
+
+
+def _host_decode(mt, scs, x):
+    """Reconstruct y from the packed tiles exactly as the kernel would."""
+    wr = mt.window_rows
+    x_rows = (scs.n_rows_padded + LANES - 1) // LANES
+    xp = np.zeros(max(x_rows, wr + int(mt.w_row.max())) * LANES)
+    xp[: scs.n_rows_padded] = x
+    x2d = xp.reshape(-1, LANES)
+    G = mt.chunks_per_group
+    y = np.zeros(mt.n_groups * G * 1024)
+    for t in range(mt.n_tiles):
+        w = int(mt.w_row[t])
+        g = int(mt.tile_group[t])
+        window = x2d[w : w + wr]
+        src = mt.src_tab[t]
+        lane = src & 127
+        sub = (src >> 7) & 63  # lane-addressed table
+        sel = (src >> MIXED_SEL_SHIFT) & 7
+        vals = mt.vals[t].astype(np.float64)
+        for i in range(TILE_J):
+            for j in np.nonzero(vals[i])[0]:
+                l = lane[i, j]
+                cl = mt.cls[t, sel[i, j]]
+                row = (g * G + cl) * 1024 + i * 128 + j
+                y[row] += vals[i, j] * window[sub[i, l], l]
+    return y
+
+
+def test_pack_decode_exact(rand_scs):
+    scs = rand_scs
+    mt = pack_mixed_tiles(scs, window_rows=32, native=False)
+    assert mt.fill > 0.05  # far above the regular packer's ~0.02 here
+    x = np.random.default_rng(0).standard_normal(scs.n_rows_padded)
+    y = _host_decode(mt, scs, x)
+    ref = scs.spmv_reference(x)
+    err = np.abs(y[: scs.n_rows_padded] - ref).max() / np.abs(ref).max()
+    assert err < 1e-12
+
+
+def test_native_packer_bit_identical(rand_scs):
+    from uspmv_tpu.native import pack_mixed_tiles_native
+
+    scs = rand_scs
+    b = pack_mixed_tiles_native(scs, np.float32, window_rows=32)
+    if b is None:
+        pytest.skip("native host library unavailable")
+    a = pack_mixed_tiles(scs, window_rows=32, native=False)
+    for f in ("vals", "src_tab", "w_row", "tile_group", "cls"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
+
+
+def test_kernel_interpret_matches_reference(rand_scs):
+    from uspmv_tpu.ops.pallas_scs import (
+        build_device_mixed_tiles,
+        spmv_mixed_tiles,
+    )
+
+    scs = rand_scs
+    dev = build_device_mixed_tiles(scs, window_rows=32)
+    x = np.random.default_rng(0).standard_normal(
+        scs.n_rows_padded
+    ).astype(np.float32)
+    y = np.asarray(spmv_mixed_tiles(dev, x, interpret=True))
+    ref = scs.spmv_reference(x)
+    err = np.abs(y - ref[: scs.n_rows_padded]).max() / np.abs(ref).max()
+    assert err < 1e-5
+
+
+def test_window_fill_estimator():
+    """The estimator flags large random-column matrices (where window
+    density is hopeless) and keeps structured or SMALL matrices on the
+    regular packer — a 30k-row random matrix still has ~1k elements per
+    window and packs fine."""
+    from uspmv_tpu.formats.coo import MtxData
+    from uspmv_tpu.runtime.operator import (
+        MIXED_EST_CUTOFF,
+        _window_fill_estimate,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 500_000
+    rows = np.repeat(np.arange(64 * 1024, dtype=np.int64), 8)
+    cols = rng.integers(0, n, rows.size)
+    big_rand = MtxData.from_arrays(
+        rows, cols, np.ones(rows.size), n_rows=n, n_cols=n
+    ).sort_by_row()
+    assert _window_fill_estimate(big_rand) < MIXED_EST_CUTOFF
+    assert (
+        _window_fill_estimate(random_imbalanced(30_000, 8, seed=1))
+        > MIXED_EST_CUTOFF
+    )
+    assert (
+        _window_fill_estimate(generate_matrix("Laplace3D,12"))
+        > MIXED_EST_CUTOFF
+    )
+
+
+def test_operator_forced_mixed_matches_scipy():
+    from uspmv_tpu.runtime.operator import SpmvOperator
+
+    rand = random_imbalanced(30_000, 8, seed=1)
+    cfg = Config(kernel_format="scs", chunk_size=1024, sigma=1,
+                 value_type="sp", backend="cpu", mixed_tiles=True)
+    op = SpmvOperator.from_mtx(cfg, rand)
+    assert op.impl_name() == "pallas-mixed-tiles"
+    A = rand.to_scipy().astype(np.float64)
+    x = np.random.default_rng(2).standard_normal(rand.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_operator_forced_regular():
+    rand = random_imbalanced(30_000, 8, seed=1)
+    from uspmv_tpu.runtime.operator import SpmvOperator
+
+    cfg = Config(kernel_format="scs", chunk_size=1024, sigma=1,
+                 value_type="sp", backend="cpu", mixed_tiles=False)
+    op = SpmvOperator.from_mtx(cfg, rand)
+    assert op.impl_name() != "pallas-mixed-tiles"
+
+
+def test_powerlaw_cols_generator():
+    mtx = generate_matrix("PowerLawCols,5000,6")
+    assert mtx.n_rows == 5000
+    counts = np.bincount(mtx.J, minlength=5000)
+    # hub columns: the most popular column appears in far more rows than
+    # the median column
+    assert counts.max() > 50 * max(np.median(counts), 1)

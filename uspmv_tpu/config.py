@@ -126,6 +126,12 @@ class Config:
     # baseline (the cuSPARSE-comparison analogue, utilities.hpp:3380-3550)
     impl: str = "auto"
     tile_elems: int = 1024  # elements per device tile (8x128)
+    # Mixed-chunk tiles for zero-column-locality matrices (random/power-law
+    # columns): tiles pool elements from up to 8 chunks of one output
+    # group, multiplying the gather-window candidate pool 8x at the cost
+    # of 8 masked read-modify-writes per tile. None = auto (engaged when
+    # the estimated per-chunk window fill is hopeless); True/False force.
+    mixed_tiles: Optional[bool] = None
     # Re-tiling engine: treat the user's (C, sigma) — and CRS — as the
     # LOGICAL format (row permutation + reported beta) but pack the
     # permuted matrix into physical 1024-row lane-tile chunks for

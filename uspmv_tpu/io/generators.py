@@ -283,12 +283,41 @@ def tridiag(n: int, diag: float = 2.0, off: float = -1.0) -> MtxData:
     return MtxData.from_arrays(rows, cols, vals, n_rows=n, n_cols=n).sort_by_row()
 
 
+def powerlaw_cols(n: int, avg_nnz_per_row: int = 8, alpha: float = 1.0,
+                  seed: int = 7) -> MtxData:
+    """Power-law COLUMN popularity (SuiteSparse dlr1-class, the
+    reference's intended radiosity/graph workloads,
+    scripts/check_perf.sh:31-35): column j is referenced with probability
+    ~ 1/(j+1)^alpha — a few hub columns appear in a large fraction of
+    rows while the tail is near-uniform. Zero row locality, zero diagonal
+    structure: the class that exercises the mixed-chunk tile mode."""
+    rng = np.random.default_rng(seed)
+    lens = rng.poisson(max(avg_nnz_per_row - 1, 1), n) + 1
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # Zipf-ish columns via inverse-CDF on the normalized weight cumsum;
+    # a random permutation decouples popularity from column index
+    w = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), alpha)
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    ranks = np.searchsorted(cdf, rng.random(rows.size))
+    colmap = rng.permutation(n).astype(np.int64)
+    cols = colmap[np.minimum(ranks, n - 1)]
+    vals = rng.standard_normal(rows.size)
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    first.sort()
+    return MtxData.from_arrays(
+        rows[first], cols[first], vals[first], n_rows=n, n_cols=n
+    ).sort_by_row()
+
+
 _GENERATORS = {
     "Laplace2D": laplace2d,
     "Laplace3D": laplace3d,
     "RandomBanded": random_banded,
     "RandomImbalanced": random_imbalanced,
     "BandedImbalanced": banded_imbalanced,
+    "PowerLawCols": powerlaw_cols,
     "FemTet3D": fem_tet3d,
     "StokesSaddle": stokes_saddle,
     "Tridiag": tridiag,

@@ -64,7 +64,7 @@ def _try_build() -> bool:
         return False
 
 
-_ABI_VERSION = 2  # must match uspmv_abi_version() in native/uspmv_host.cpp
+_ABI_VERSION = 3  # must match uspmv_abi_version() in native/uspmv_host.cpp
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -101,6 +101,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.uspmv_pack_sizes.argtypes = [ctypes.c_void_p, _i64p, _i64p, _i64p, _i64p]
     lib.uspmv_pack_fetch.argtypes = [ctypes.c_void_p, _f64p, _i32p, _i32p, _i32p]
     lib.uspmv_pack_free.argtypes = [ctypes.c_void_p]
+    lib.uspmv_pack_mixed_tiles.restype = ctypes.c_void_p
+    lib.uspmv_pack_mixed_tiles.argtypes = [
+        _i64, _i64, _i32p, _i32p, _i32p, _f64p, _i32p, _i64, _i64, _i64,
+        _i64,
+    ]
+    lib.uspmv_mixed_sizes.argtypes = [ctypes.c_void_p, _i64p, _i64p]
+    lib.uspmv_mixed_fetch.argtypes = [
+        ctypes.c_void_p, _f64p, _i32p, _i32p, _i32p, _i32p,
+    ]
+    lib.uspmv_mixed_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -252,6 +262,73 @@ def convert_to_scs_native(mtx, C: int, sigma: int, dtype=None,
         new_to_old_idx=new_to_old,
         n_cols=mtx.n_cols,
         row_counts_new=row_counts,
+    )
+
+
+def pack_mixed_tiles_native(scs, dtype, tiles_per_step=None,
+                            chunks_per_group=None, x_len=None,
+                            window_rows=32, m_mixed=8):
+    """Native mixed-chunk tile greedy -> ops.packer.MixedTiles (the Python
+    packer in ops/packer.py is the bit-identical reference twin); returns
+    None when the library is unavailable. The shared finalize (interleave +
+    per-group step padding) runs in Python for both."""
+    lib = load()
+    if lib is None or not hasattr(lib, "uspmv_pack_mixed_tiles"):
+        return None
+    dtype = np.dtype(dtype)
+    from ..ops.packer import (
+        CHUNK_ROWS,
+        LANES,
+        TILE_J,
+        _finalize_mixed_tiles,
+        resolve_chunks_per_group,
+    )
+
+    if scs.C != CHUNK_ROWS:
+        raise ValueError(
+            f"mixed-tile packing requires C={CHUNK_ROWS}, got C={scs.C}"
+        )
+    if scs.row_counts_new is None:
+        return None
+    if x_len is None:
+        x_len = scs.n_rows_padded
+    if chunks_per_group is None:
+        chunks_per_group = resolve_chunks_per_group(scs.n_chunks)
+    cp = np.ascontiguousarray(scs.chunk_ptrs, dtype=np.int32)
+    cl = np.ascontiguousarray(scs.chunk_lengths, dtype=np.int32)
+    ci = np.ascontiguousarray(scs.col_idxs, dtype=np.int32)
+    vals = np.ascontiguousarray(scs.values, dtype=np.float64)
+    rc = np.ascontiguousarray(scs.row_counts_new, dtype=np.int32)
+    h = lib.uspmv_pack_mixed_tiles(
+        scs.n_chunks, scs.n_rows_padded, _ptr_i32(cp), _ptr_i32(cl),
+        _ptr_i32(ci), vals.ctypes.data_as(_f64p), _ptr_i32(rc),
+        int(x_len), int(chunks_per_group), int(window_rows), int(m_mixed),
+    )
+    if not h:
+        _raise_last(lib)
+    try:
+        nt = _i64(0)
+        m = _i64(0)
+        lib.uspmv_mixed_sizes(h, ctypes.byref(nt), ctypes.byref(m))
+        tvals = np.empty((nt.value, TILE_J, LANES), dtype=np.float64)
+        src = np.empty((nt.value, TILE_J, LANES), dtype=np.int32)
+        w_row = np.empty(nt.value, dtype=np.int32)
+        grp = np.empty(nt.value, dtype=np.int32)
+        cls = np.empty((nt.value, m.value), dtype=np.int32)
+        lib.uspmv_mixed_fetch(
+            h, tvals.ctypes.data_as(_f64p), _ptr_i32(src), _ptr_i32(w_row),
+            _ptr_i32(grp), _ptr_i32(cls),
+        )
+    finally:
+        lib.uspmv_mixed_free(h)
+    n_groups = max(
+        (scs.n_chunks + chunks_per_group - 1) // chunks_per_group, 1
+    )
+    return _finalize_mixed_tiles(
+        tvals.astype(dtype) if dtype != np.float64 else tvals,
+        src, w_row, grp, cls, scs, dtype,
+        tiles_per_step, int(chunks_per_group), n_groups,
+        int(window_rows), int(m.value),
     )
 
 

@@ -409,6 +409,299 @@ def pack_lane_tiles(
     )
 
 
+# --- mixed-chunk tiles: the zero-column-locality mode -------------------
+#
+# Chunk-local packing caps fill at chunk_nnz * window / n_cols: a chunk of
+# 1024 rows x ~8 nnz over 500k random columns puts only ~60 elements into
+# any 4096-entry gather window, so tiles cannot fill no matter how the
+# packer arranges them (RandomImbalanced measured fill 0.018 -> XLA
+# fallback at 0.2 GFLOP/s). Mixed-chunk tiles pool elements from up to
+# M_MIXED chunks of one output GROUP into a single tile — the candidate
+# pool per (window, tile) grows M_MIXED-fold — at the cost of a per-element
+# 3-bit chunk selector (spare high bits of the src16 stream) and M_MIXED
+# masked read-modify-writes per tile in the kernel (~3 VPU ops each).
+#
+# Per-tile state: one gather window w; a chunk SET (chunk-local ids,
+# <= M_MIXED, stored in cls[nt, M_MIXED]); slot occupancy (an element's
+# slot (i, j) is fixed by its row-within-chunk, the chunk given by the
+# selector); and the usual one-sublane-per-(tile-row, source-lane) gather
+# consistency.
+
+M_MIXED = 8  # chunk slots per mixed tile (3 selector bits, hard cap)
+MIXED_SEL_SHIFT = 13  # selector bits 13-15 of src16; sub (<= 63, wr <= 64) uses 7-12
+
+
+@dataclasses.dataclass
+class MixedTiles:
+    """Packed mixed-chunk tiles (numpy). Same layout as LaneTiles plus the
+    per-tile chunk-slot table ``cls`` and per-element selectors packed into
+    ``src_tab`` bits 12-14."""
+
+    vals: np.ndarray  # [nt, 8, 128]
+    src_tab: np.ndarray  # [nt, 8, 128] int32 (sel << 12) | (sub << 7) | lane
+    w_row: np.ndarray  # [nt] int32
+    tile_group: np.ndarray  # [nt] int32, ascending
+    cls: np.ndarray  # [nt, M_MIXED] int32 chunk-local ids (pad: repeat 0)
+    n_chunks: int
+    n_rows_padded: int
+    nnz: int
+    tiles_per_step: int
+    chunks_per_group: int
+    window_rows: int
+
+    @property
+    def n_tiles(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def n_groups(self) -> int:
+        g = self.chunks_per_group
+        return max((self.n_chunks + g - 1) // g, 1)
+
+    @property
+    def fill(self) -> float:
+        sz = self.vals.size
+        return self.nnz / sz if sz else 1.0
+
+
+def pack_mixed_tiles(
+    scs: ScsData,
+    dtype=np.float32,
+    tiles_per_step: int | None = None,
+    chunks_per_group: int | None = None,
+    x_len: int | None = None,
+    window_rows: int = 32,
+    m_mixed: int = M_MIXED,
+    native: bool | None = None,
+) -> MixedTiles:
+    """Pack an SCS (C=1024) into mixed-chunk tiles (column-sorted greedy
+    per group with a pruned open-tile list; open tiles whose window the
+    ascending column walk has passed can never accept another element, so
+    the scan stays short)."""
+    if scs.C != CHUNK_ROWS:
+        raise ValueError(
+            f"mixed-tile packing requires C={CHUNK_ROWS}, got C={scs.C}"
+        )
+    if native is not False:
+        from ..native import pack_mixed_tiles_native
+
+        out = pack_mixed_tiles_native(
+            scs, dtype, tiles_per_step=tiles_per_step,
+            chunks_per_group=chunks_per_group, x_len=x_len,
+            window_rows=window_rows, m_mixed=m_mixed,
+        )
+        if out is not None:
+            return out
+        if native is True:
+            raise RuntimeError("native host library unavailable")
+    n_chunks = scs.n_chunks
+    window = window_rows * LANES
+    if x_len is None:
+        x_len = scs.n_rows_padded
+    x_rows = max((x_len + LANES - 1) // LANES, window_rows)
+    max_wrow = max(x_rows - window_rows, 0)
+    if chunks_per_group is None:
+        chunks_per_group = resolve_chunks_per_group(n_chunks)
+    G = chunks_per_group
+
+    # flat element view (drop structural padding)
+    keep = ~scs.padding_mask()
+    cols_all = scs.col_idxs[keep].astype(np.int64)
+    vals_all = scs.values[keep].astype(dtype)
+    chunk, _j, i_slot = scs.element_coords()
+    chunk = chunk[keep]
+    rows_in_chunk = i_slot[keep]  # row-within-chunk of each element
+    si_all = (rows_in_chunk >> 7).astype(np.int64)  # slot sublane
+    sj_all = (rows_in_chunk & (LANES - 1)).astype(np.int64)  # slot lane
+    group_all = (chunk // G).astype(np.int64)
+    cl_all = (chunk - group_all * G).astype(np.int64)
+
+    n_groups = max((n_chunks + G - 1) // G, 1)
+    # BANDED selectors: chunk band = cl // m, selector = cl % m. A tile
+    # serves exactly one band (its cls row is the band's m chunk ids), so
+    # there is no per-tile chunk-set bookkeeping and — for uniform column
+    # scatter — the per-(window, band) pool equals the optimal chunk
+    # partition (free chunk-sets measured 3.6x WORSE fill: first-come
+    # chunk sets fragment the pool)
+    band_all = cl_all // m_mixed
+    order = np.lexsort((cols_all, band_all, group_all))
+    gb_all = group_all * (1 << 20) + band_all
+    gb = gb_all[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero(np.diff(gb)) + 1, [gb.size])
+    )
+
+    grp_w: list = []
+    grp_cls: list = []  # tile dicts, emitted at creation time
+    grp_of_tile: list = []
+    for seg in range(starts.size - 1):
+        sel_idx = order[starts[seg] : starts[seg + 1]]
+        if sel_idx.size == 0:
+            continue
+        g = int(group_all[sel_idx[0]])
+        band = int(band_all[sel_idx[0]])
+        cls_row = np.minimum(
+            band * m_mixed + np.arange(m_mixed, dtype=np.int32), G - 1
+        )
+        cols = cols_all[sel_idx]
+        vals = vals_all[sel_idx]
+        sels = (cl_all[sel_idx] - band * m_mixed).astype(np.int64)
+        sis = si_all[sel_idx]
+        sjs = sj_all[sel_idx]
+        open_tiles: list = []
+        head = 0
+        for col, val, sel, i, j in zip(cols, vals, sels, sis, sjs):
+            col = int(col)
+            sel = int(sel)
+            i = int(i)
+            j = int(j)
+            # skip tiles the ascending walk has passed (they can never
+            # accept another element; they stay in the emit lists)
+            while head < len(open_tiles) and (
+                open_tiles[head]["w"] * LANES + window <= col
+            ):
+                head += 1
+            placed = False
+            for t in open_tiles[head:]:
+                off = col - t["w"] * LANES
+                if off >= window or t["occ"][i, j]:
+                    continue
+                lane, s = off & (LANES - 1), off >> 7
+                if t["s_set"][i, lane] and t["sub"][i, lane] != s:
+                    continue
+                t["vals"][i, j] = val
+                # lane + selector are slot-addressed at (i, j); the
+                # sublane table is addressed by SOURCE LANE at (i, lane)
+                # (two tables share the packed word, original layout —
+                # see LaneTiles.src_tab)
+                t["lane"][i, j] = lane
+                t["sel"][i, j] = sel
+                t["sub"][i, lane] = s
+                t["s_set"][i, lane] = True
+                t["occ"][i, j] = True
+                placed = True
+                break
+            if not placed:
+                w = min(col // LANES, max_wrow)
+                t = {
+                    "w": w,
+                    "vals": np.zeros((TILE_J, LANES), dtype=dtype),
+                    "lane": np.zeros((TILE_J, LANES), dtype=np.int32),
+                    "sel": np.zeros((TILE_J, LANES), dtype=np.int32),
+                    "sub": np.zeros((TILE_J, LANES), dtype=np.int32),
+                    "s_set": np.zeros((TILE_J, LANES), dtype=bool),
+                    "occ": np.zeros((TILE_J, LANES), dtype=bool),
+                }
+                off = col - w * LANES
+                lane, s = off & (LANES - 1), off >> 7
+                t["vals"][i, j] = val
+                t["lane"][i, j] = lane
+                t["sel"][i, j] = sel
+                t["sub"][i, lane] = s
+                t["s_set"][i, lane] = True
+                t["occ"][i, j] = True
+                t["cls"] = cls_row
+                open_tiles.append(t)
+                grp_w.append(t["w"])
+                grp_cls.append(t)
+                grp_of_tile.append(g)
+
+    nt = len(grp_cls)
+    if nt == 0:
+        vals_out = np.zeros((1, TILE_J, LANES), dtype=dtype)
+        src_tab = np.zeros((1, TILE_J, LANES), dtype=np.int32)
+        w_row = np.zeros(1, dtype=np.int32)
+        tile_group = np.zeros(1, dtype=np.int32)
+        cls_arr = np.zeros((1, m_mixed), dtype=np.int32)
+        nt = 1
+    else:
+        cls_arr = np.zeros((nt, m_mixed), dtype=np.int32)
+        vals_out = np.empty((nt, TILE_J, LANES), dtype=dtype)
+        src_tab = np.empty((nt, TILE_J, LANES), dtype=np.int32)
+        for k, t in enumerate(grp_cls):
+            cls_arr[k] = t["cls"]
+            vals_out[k] = t["vals"]
+            src_tab[k] = (
+                (t["sel"] << MIXED_SEL_SHIFT) | (t["sub"] << 7) | t["lane"]
+            )
+        w_row = np.asarray(grp_w, dtype=np.int32)
+        tile_group = np.asarray(grp_of_tile, dtype=np.int32)
+
+    return _finalize_mixed_tiles(
+        vals_out, src_tab, w_row, tile_group, cls_arr, scs, dtype,
+        tiles_per_step, G, n_groups, window_rows, m_mixed,
+    )
+
+
+def _finalize_mixed_tiles(
+    vals_out, src_tab, w_row, tile_group, cls_arr, scs, dtype,
+    tiles_per_step, G, n_groups, window_rows, m_mixed,
+):
+    """Shared tail of the Python and native mixed packers: interleave
+    within groups and pad per group to the step width."""
+    n_chunks = scs.n_chunks
+    # interleave consecutive tiles of a group ACROSS BANDS: tiles of one
+    # band all accumulate into the same m output blocks, so band-major
+    # order chains read-after-writes on every masked RMW (measured ~45
+    # ns/tile of stall); round-robin by rank-within-band makes
+    # consecutive tiles target disjoint blocks
+    band_of_tile = (cls_arr[:, 0] // max(m_mixed, 1)).astype(np.int64)
+    order0 = np.lexsort((band_of_tile, tile_group))
+    tg = tile_group[order0].astype(np.int64)
+    gb_key = tg * (1 << 20) + band_of_tile[order0]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(gb_key)) + 1))
+    lens_run = np.diff(np.append(starts, gb_key.size))
+    rank = np.arange(gb_key.size) - np.repeat(starts, lens_run)
+    key = (tg * (1 << 40) + rank * (1 << 20) + band_of_tile[order0])
+    reorder = order0[np.argsort(key, kind="stable")]
+    vals_out = vals_out[reorder]
+    src_tab = src_tab[reorder]
+    w_row = w_row[reorder]
+    tile_group = tile_group[reorder]
+    cls_arr = cls_arr[reorder]
+
+    # pad each group's tile count to a multiple of tiles_per_step; every
+    # group needs >= 1 step so its output block gets zero-initialized
+    if tiles_per_step is None:
+        tiles_per_step = auto_tiles_per_step(vals_out.shape[0])
+    cnt = np.bincount(tile_group, minlength=n_groups)
+    cnt_pad = np.maximum(
+        (cnt + tiles_per_step - 1) // tiles_per_step, 1
+    ) * tiles_per_step
+    nt_pad = int(cnt_pad.sum())
+    nt = vals_out.shape[0]
+    if nt_pad != nt:
+        ends = np.cumsum(cnt)
+        ends_pad = np.cumsum(cnt_pad)
+        src_pos = np.arange(nt) + (ends_pad - ends)[tile_group] - (
+            cnt_pad - cnt
+        )[tile_group]
+        v = np.zeros((nt_pad, TILE_J, LANES), dtype=dtype)
+        s = np.zeros((nt_pad, TILE_J, LANES), dtype=np.int32)
+        w = np.zeros(nt_pad, dtype=np.int32)
+        c = np.zeros((nt_pad, m_mixed), dtype=np.int32)
+        tgp = np.repeat(np.arange(n_groups, dtype=np.int32), cnt_pad)
+        v[src_pos] = vals_out
+        s[src_pos] = src_tab
+        w[src_pos] = w_row
+        c[src_pos] = cls_arr
+        vals_out, src_tab, w_row, cls_arr, tile_group = v, s, w, c, tgp
+
+    return MixedTiles(
+        vals=vals_out,
+        src_tab=src_tab,
+        w_row=w_row,
+        tile_group=tile_group,
+        cls=cls_arr,
+        n_chunks=n_chunks,
+        n_rows_padded=scs.n_rows_padded,
+        nnz=scs.nnz,
+        tiles_per_step=tiles_per_step,
+        chunks_per_group=G,
+        window_rows=window_rows,
+    )
+
+
 def _pack_spills(extra, chunk, cols, vals, iis, jjs, max_wrow, dtype,
                  window=WINDOW):
     """Greedy spill packing for one chunk. Each spill must land at its

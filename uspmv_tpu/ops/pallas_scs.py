@@ -362,6 +362,123 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
 
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceMixedTiles:
+    """Mixed-chunk tiles for zero-column-locality matrices (see
+    ops/packer.py pack_mixed_tiles). Each tile pools elements from up to
+    ``m_mixed`` chunks of one output group; the per-element chunk selector
+    rides bits 12-14 of the src16 stream and the kernel applies
+    ``m_mixed`` masked read-modify-writes per tile."""
+
+    vals: jax.Array  # [nt, 8, 128] (or [nt/2, 16, 128] for 2-byte dtypes)
+    src16: jax.Array  # [nt/2, 16, 128] int16 (sel<<12)|(sub<<7)|lane
+    # [nt] int32 packed (w_row << 6) | band; the tile's chunk-local output
+    # ids are band*m_mixed + q (banded selectors), so no per-tile id table
+    # is needed — a 2-D SMEM operand would pad its minor dim to 128 and
+    # blow the 1 MB SMEM budget (measured)
+    meta: jax.Array
+    step_group: jax.Array  # [ns] int32
+    step_first: jax.Array  # [ns] int32
+
+    tiles_per_step: int = dataclasses.field(metadata=dict(static=True))
+    chunks_per_group: int = dataclasses.field(metadata=dict(static=True))
+    n_groups: int = dataclasses.field(metadata=dict(static=True))
+    n_chunks: int = dataclasses.field(metadata=dict(static=True))
+    n_rows_padded: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    fill: float = dataclasses.field(metadata=dict(static=True))
+    window_rows: int = dataclasses.field(metadata=dict(static=True))
+    m_mixed: int = dataclasses.field(metadata=dict(static=True))
+    x_rows_total: int = dataclasses.field(default=0, metadata=dict(static=True))
+    df64: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+    @property
+    def n_tiles(self) -> int:
+        return self.meta.shape[0]
+
+    @property
+    def device_beta(self) -> float:
+        return self.fill
+
+    def stream_bytes(self) -> int:
+        return int(self.vals.nbytes + self.src16.nbytes)
+
+
+def build_device_mixed_tiles(
+    scs,
+    dtype=np.float32,
+    device=None,
+    tiles_per_step=None,
+    chunks_per_group=None,
+    x_len=None,
+    window_rows=64,
+    m_mixed=None,
+    block_vec_size=1,
+) -> DeviceMixedTiles:
+    """Pack + upload mixed-chunk tiles. Whole-x VMEM residence only (the
+    class this serves has x far below the budget; larger x falls back)."""
+    from .packer import M_MIXED, pack_mixed_tiles
+
+    if np.dtype(dtype) == np.float64:
+        raise LaneTileBudgetError(
+            "mixed-chunk tiles have no df64 variant; dp runs the CPU path"
+        )
+    if m_mixed is None:
+        m_mixed = M_MIXED
+    if x_len is None:
+        x_len = scs.n_rows_padded
+    if not lane_tiles_fit(int(x_len), block_vec_size):
+        raise LaneTileBudgetError(
+            "mixed-chunk tiles require the whole x in VMEM "
+            f"({x_len} rows x bs={block_vec_size} exceeds the budget)"
+        )
+    mt = pack_mixed_tiles(
+        scs, dtype=dtype, tiles_per_step=tiles_per_step,
+        chunks_per_group=chunks_per_group, x_len=x_len,
+        window_rows=window_rows, m_mixed=m_mixed,
+    )
+    if mt.n_tiles > MAX_META_TILES:
+        raise LaneTileBudgetError(
+            f"mixed-tile count {mt.n_tiles} exceeds the SMEM meta budget "
+            f"({MAX_META_TILES})"
+        )
+    tps = mt.tiles_per_step
+    assert mt.n_tiles % 2 == 0
+    src16 = mt.src_tab.astype(np.uint16).view(np.int16).reshape(
+        mt.n_tiles // 2, 2 * TILE_J, LANES
+    )
+    vals = mt.vals
+    if vals.dtype.itemsize == 2:
+        vals = vals.reshape(mt.n_tiles // 2, 2 * TILE_J, LANES)
+    step_group = mt.tile_group[::tps].astype(np.int32)
+    ns = step_group.shape[0]
+    first = np.ones(ns, dtype=np.int32)
+    first[1:] = (step_group[1:] != step_group[:-1]).astype(np.int32)
+    x_rows = max((int(x_len) + LANES - 1) // LANES, mt.window_rows)
+    band = (mt.cls[:, 0] // max(m_mixed, 1)).astype(np.int32)
+    assert int(band.max(initial=0)) < 64
+    meta = (mt.w_row.astype(np.int32) << 6) | band
+    put = lambda a: jax.device_put(a, device) if device else jnp.asarray(a)
+    return DeviceMixedTiles(
+        vals=put(vals),
+        src16=put(src16),
+        meta=put(meta),
+        step_group=put(step_group),
+        step_first=put(first),
+        tiles_per_step=tps,
+        chunks_per_group=mt.chunks_per_group,
+        n_groups=mt.n_groups,
+        n_chunks=mt.n_chunks,
+        n_rows_padded=mt.n_rows_padded,
+        nnz=mt.nnz,
+        fill=mt.fill,
+        window_rows=mt.window_rows,
+        m_mixed=m_mixed,
+        x_rows_total=int(x_rows),
+    )
+
+
 def _gather_window(window, sub_tab, lane_tab, wr, acc_dtype=None):
     """Two-step gather from an (wr, 128) window value.
 
@@ -507,6 +624,136 @@ def _kernel(
             window = x_ref[b, pl.ds(w, wr), :]
             g = _gather_window(window, sub_tab, lane_tab, wr)
             out_ref[b, cl] = out_ref[b, cl] + v * g.astype(acc_dtype)
+
+
+def _kernel_mixed(
+    # scalar-prefetch refs (SMEM)
+    meta_ref,  # [nt] int32 packed (w_row << 6) | band
+    sg_ref,  # [ns] int32 (consumed by the out index map)
+    sf_ref,  # [ns] int32: 1 = first step of group
+    # blocked inputs
+    vals_ref,
+    src_ref,  # [tps/2, 16, 128] int16 (sel<<13)|(sub<<7)|lane
+    x_ref,  # (bs, x_rows, 128)
+    out_ref,  # (bs, G, 8, 128)
+    *,
+    acc_dtype,
+    tps,
+    bs,
+    wr,
+    m,
+    G,
+):
+    """Mixed-chunk tile SpMV: one gather per tile, then ``m`` masked
+    read-modify-writes route each element's product to its chunk's output
+    block — chunk-local id = band*m + selector (banded selectors;
+    selector = src16 bits 12-14). ~3 extra VPU ops per chunk slot buys an
+    m-fold candidate pool for zero-column-locality matrices (see
+    ops/packer.py pack_mixed_tiles; reference CRS kernels degrade
+    gracefully on such matrices via cachelines, kernels.hpp:22-63 — this
+    is the TPU equivalent of that graceful degradation)."""
+    del sg_ref
+    step = pl.program_id(0)
+
+    @pl.when(sf_ref[step] == 1)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    base = step * tps
+    vals_paired = vals_ref.shape[1] == 2 * TILE_J
+    for k in range(tps):
+        mword = meta_ref[base + k]
+        band = jnp.bitwise_and(mword, 63)
+        w = jnp.right_shift(mword, 6)
+        cl0 = band * m
+        half = (k % 2) * TILE_J
+        packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
+        # masks make int16 sign-extension harmless (bits are preserved)
+        lane_tab = jnp.bitwise_and(packed, LANES - 1)
+        sub_tab = jnp.bitwise_and(jnp.right_shift(packed, 7), 63)
+        sel = jnp.bitwise_and(jnp.right_shift(packed, 13), 7)
+        if vals_paired:
+            v = vals_ref[k // 2, pl.ds(half, TILE_J), :].astype(acc_dtype)
+        else:
+            v = vals_ref[k].astype(acc_dtype)
+        for b in range(bs):
+            window = x_ref[b, pl.ds(w, wr), :]
+            g = _gather_window(window, sub_tab, lane_tab, wr)
+            p = v * g.astype(acc_dtype)
+            for q in range(m):
+                cl = jnp.minimum(cl0 + np.int32(q), np.int32(G - 1))
+                out_ref[b, cl] = out_ref[b, cl] + jnp.where(
+                    sel == q, p, jnp.zeros_like(p)
+                )
+
+
+def spmv_mixed_tiles(
+    dev: DeviceMixedTiles, x: jax.Array, interpret: Optional[bool] = None
+) -> jax.Array:
+    """y = A @ x through mixed-chunk tiles (whole-x VMEM residence)."""
+    if interpret is None:
+        interpret = not pallas_supported()
+    n_pad = dev.n_rows_padded
+    x_rows = max(
+        (x.shape[0] + LANES - 1) // LANES, dev.window_rows, dev.x_rows_total
+    )
+    block = x.ndim == 2
+    bs = x.shape[1] if block else 1
+    x3d = x if block else x[:, None]
+    if x3d.dtype.itemsize == 2:
+        x3d = x3d.astype(jnp.float32)
+    if x3d.shape[0] < x_rows * LANES:
+        x3d = jnp.pad(x3d, ((0, x_rows * LANES - x3d.shape[0]), (0, 0)))
+    x3d = x3d.T.reshape(bs, x_rows, LANES)
+    acc_dtype = jnp.float32 if x.dtype != jnp.float64 else jnp.float64
+
+    Z = np.int32(0)
+    nt = dev.n_tiles
+    tps = dev.tiles_per_step
+    G = dev.chunks_per_group
+    assert nt % tps == 0
+    ns = nt // tps
+    vals_spec = pl.BlockSpec(
+        (tps // 2, 2 * TILE_J, LANES)
+        if dev.vals.shape[1] == 2 * TILE_J
+        else (tps, TILE_J, LANES),
+        lambda s, m_, g_, f_: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    src_spec = pl.BlockSpec(
+        (tps // 2, 2 * TILE_J, LANES),
+        lambda s, m_, g_, f_: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    x_spec = pl.BlockSpec(
+        x3d.shape, lambda s, m_, g_, f_: (Z, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (bs, G, TILE_J, LANES),
+        lambda s, m_, g_, f_: (Z, g_[s], Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(ns,),
+        in_specs=[vals_spec, src_spec, x_spec],
+        out_specs=out_spec,
+    )
+    y = pl.pallas_call(
+        functools.partial(
+            _kernel_mixed, acc_dtype=acc_dtype, tps=tps, bs=bs,
+            wr=dev.window_rows, m=dev.m_mixed, G=G,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (bs, dev.n_groups * G, TILE_J, LANES), acc_dtype
+        ),
+        interpret=interpret,
+    )(dev.meta, dev.step_group, dev.step_first,
+      dev.vals, dev.src16, x3d)
+    y = y.reshape(bs, -1)[:, :n_pad].T.astype(x.dtype)
+    return y if block else y[:, 0]
 
 
 def _kernel_windowed(
@@ -764,6 +1011,8 @@ def spmv_pallas(dev, x, interpret: Optional[bool] = None):
     """Operator-facing entry: dispatch on device-format type. Rowwise block
     vectors ([n, bs]) run the fused SpMMV kernel — one matrix stream shared
     by all RHS columns."""
+    if isinstance(dev, DeviceMixedTiles):
+        return spmv_mixed_tiles(dev, x, interpret=interpret)
     if not isinstance(dev, DeviceLaneTiles):
         # operator passed an XLA DeviceScs (config fallback)
         from .spmv_xla import spmv_tiled

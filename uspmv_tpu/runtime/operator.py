@@ -318,6 +318,36 @@ def _build_fold_dev(fold_idx, n_rows_padded, device, block_vec_size=1):
         return None
 
 
+# Engage mixed-chunk tiles below this estimated per-chunk window fill:
+# chunk-local packing cannot beat chunk_nnz * window / col_span, so when
+# that bound is hopeless (random columns) the regular packer would grind
+# through millions of spills only to blow the SMEM tile budget
+MIXED_EST_CUTOFF = 0.10
+
+
+def _window_fill_estimate(
+    mtx: MtxData, window: int = 32 * 128, sample: int = 16
+) -> float:
+    """Upper-bound estimate of the chunk-local lane-tile fill: per sampled
+    1024-row block, nnz / (windows-spanned * 1024) with the span taken as
+    the P5-P95 column range (outliers spill anyway)."""
+    n_blocks = max(mtx.n_rows // 1024, 1)
+    step = max(n_blocks // sample, 1)
+    counts = np.bincount(mtx.I // 1024, minlength=n_blocks)
+    starts = np.concatenate(([0], np.cumsum(counts)))  # row-sorted COO
+    ests = []
+    for b in range(0, n_blocks, step):
+        lo, hi = int(starts[b]), int(starts[min(b + 1, n_blocks)])
+        if hi - lo < 32:
+            continue
+        cols = mtx.J[lo:hi]
+        p5, p95 = np.percentile(cols, [5, 95])
+        span = max(float(p95 - p5), 1.0)
+        windows = max(span / window, 1.0)
+        ests.append((hi - lo) / (windows * 1024.0))
+    return float(np.median(ests)) if ests else 1.0
+
+
 MAX_SCS_EXPANSION = 16.0  # n_elements / nnz beyond which SCS is refused
 
 
@@ -441,11 +471,25 @@ class SpmvOperator:
         virt_ids = None
         # df64 accumulates (hi, lo) pairs; the scatter/vectorized folds
         # would renormalize incorrectly, so splitting is off under -dp_emu
+        # zero-column-locality detection: when chunk-local window fill is
+        # hopeless (random/power-law columns), skip the regular packer's
+        # split probes (they grind through millions of spills) and build
+        # mixed-chunk tiles instead
+        use_mixed = False
+        if (use_lane_tiles(config) and not config.is_ap
+                and not config.dp_emulation):
+            if config.mixed_tiles is not None:
+                use_mixed = bool(config.mixed_tiles)
+            else:
+                use_mixed = (
+                    _window_fill_estimate(mtx) < MIXED_EST_CUTOFF
+                )
         if (C > 1 and config.split_rows_threshold >= 0
                 and not config.dp_emulation):
             th = config.split_rows_threshold
             if th == 0:
-                if use_lane_tiles(config) and not config.is_ap:
+                if (use_lane_tiles(config) and not config.is_ap
+                        and not use_mixed):
                     th, tuned_window_rows = _autotune_lane_split(
                         mtx, config, C, sigma
                     )
@@ -556,39 +600,71 @@ class SpmvOperator:
             cpg = resolve_chunks_per_group(
                 primary.n_rows_padded // CHUNK_ROWS, eff_bs
             )
-            try:
-                devs = {
-                    # values stream in the precision's own dtype (hp =
-                    # bfloat16, the _Float16 analogue); the kernel
-                    # accumulates in f32 like the reference's AP kernels.
-                    # x beyond the VMEM budget switches to per-group
-                    # HBM->VMEM windows automatically (x_window auto)
-                    p: build_device_lane_tiles(
+            from ..ops.pallas_scs import (
+                LaneTileBudgetError,
+                build_device_mixed_tiles,
+            )
+
+            def _build_mixed():
+                return {
+                    p: build_device_mixed_tiles(
                         s, dtype=dtype_for(p), device=device,
-                        chunks_per_group=cpg,
-                        block_vec_size=eff_bs,
-                        window_rows=tuned_window_rows,
+                        chunks_per_group=cpg, block_vec_size=eff_bs,
                     )
                     for p, s in scs.items()
                 }
-            except Exception as e:
-                from ..ops.pallas_scs import LaneTileBudgetError
 
-                if not isinstance(e, LaneTileBudgetError):
-                    raise
-                import warnings
+            if use_mixed:
+                try:
+                    devs = _build_mixed()
+                except LaneTileBudgetError:
+                    devs = None  # fall through to the regular packer
+            if devs is None:
+                try:
+                    devs = {
+                        # values stream in the precision's own dtype (hp =
+                        # bfloat16, the _Float16 analogue); the kernel
+                        # accumulates in f32 like the reference's AP
+                        # kernels. x beyond the VMEM budget switches to
+                        # per-group HBM->VMEM windows automatically
+                        # (x_window auto)
+                        p: build_device_lane_tiles(
+                            s, dtype=dtype_for(p), device=device,
+                            chunks_per_group=cpg,
+                            block_vec_size=eff_bs,
+                            window_rows=tuned_window_rows,
+                        )
+                        for p, s in scs.items()
+                    }
+                except Exception as e:
+                    if not isinstance(e, LaneTileBudgetError):
+                        raise
+                    if (not use_mixed and not config.is_ap
+                            and not config.dp_emulation
+                            and config.mixed_tiles is not False):
+                        # second chance: a spill blow-up IS the
+                        # zero-locality signature the estimator missed
+                        try:
+                            devs = _build_mixed()
+                        except LaneTileBudgetError:
+                            devs = None
+                    else:
+                        devs = None
+                    if devs is None:
+                        import warnings
 
-                warnings.warn(
-                    f"lane-tile kernel unavailable ({e}); falling back to "
-                    "the XLA SpMV path (expect lower throughput)",
-                    stacklevel=2,
-                )
-                devs = None
+                        warnings.warn(
+                            f"lane-tile kernel unavailable ({e}); falling "
+                            "back to the XLA SpMV path (expect lower "
+                            "throughput)",
+                            stacklevel=2,
+                        )
         fold_dev = None
         if devs is not None and fold_idx is not None:
-            from ..ops.pallas_scs import DeviceLaneTiles
+            from ..ops.pallas_scs import DeviceLaneTiles, DeviceMixedTiles
 
-            if all(isinstance(d, DeviceLaneTiles) for d in devs.values()):
+            if all(isinstance(d, (DeviceLaneTiles, DeviceMixedTiles))
+                   for d in devs.values()):
                 fold_dev = _build_fold_dev(
                     fold_idx, primary.n_rows_padded, device,
                     block_vec_size=(config.block_vec_size
@@ -827,8 +903,10 @@ class SpmvOperator:
     def impl_name(self) -> str:
         """Which kernel implementation executes (printed in the bench block
         so a user can see e.g. that dp landed on the CPU/XLA path)."""
-        from ..ops.pallas_scs import DeviceLaneTiles
+        from ..ops.pallas_scs import DeviceLaneTiles, DeviceMixedTiles
 
+        if any(isinstance(d, DeviceMixedTiles) for d in self.devs.values()):
+            return "pallas-mixed-tiles"
         if any(isinstance(d, DeviceLaneTiles) for d in self.devs.values()):
             return "pallas-lane-tiles-df64" if self._is_df64() \
                 else "pallas-lane-tiles"
