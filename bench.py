@@ -95,6 +95,31 @@ def main() -> int:
         r2 = bench_spmv(op2, warmup=20, start_iters=64, timing_reps=3)
         extras[name + "_gflops"] = round(r2.perf_gflops, 2)
 
+    # adaptive precision — the reference's headline feature
+    # (ap_kernels.hpp, AP reporting main.cpp:895-905) measured on chip:
+    # ap[sp_hp] on the headline matrix, and ap[dp_sp] (dp partition through
+    # the honest double-float kernel, -dp_emu) on the 96^3 size whose
+    # paired x fits VMEM
+    op_ap = SpmvOperator.from_mtx(Config(
+        kernel_format="scs", chunk_size=1024, sigma=1,
+        value_type="ap[sp_hp]", ap_threshold_1=2.44,  # sqrt(1*6): diag->sp
+        bench_time=1.5, use_pallas=True,
+    ), mtx)
+    extras["ap_sp_hp_gflops"] = round(
+        bench_spmv(op_ap, warmup=20, start_iters=64).perf_gflops, 2
+    )
+    from uspmv_tpu.io.generators import laplace3d as _l3d
+
+    m96 = _l3d(96)
+    op_dpsp = SpmvOperator.from_mtx(Config(
+        kernel_format="scs", chunk_size=1024, sigma=1,
+        value_type="ap[dp_sp]", ap_threshold_1=2.44, dp_emulation=True,
+        bench_time=1.5, use_pallas=True,
+    ), m96)
+    extras["ap_dp_sp_96_gflops"] = round(
+        bench_spmv(op_dpsp, warmup=20, start_iters=64).perf_gflops, 2
+    )
+
     print(
         json.dumps(
             {

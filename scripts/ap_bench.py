@@ -41,13 +41,15 @@ def get_buckets_threshold(mtx, tol: float) -> float:
 
 def clamp_threshold(mtx, th: float) -> float:
     """Keep the split non-degenerate: on narrow-spectrum matrices (e.g. a
-    Laplacian with two magnitudes) the get_buckets formula may land outside
-    [min|a|, max|a|]; clamp to the median magnitude then."""
+    Laplacian with two magnitudes) the get_buckets formula may land
+    outside (min|a|, max|a|]; clamp to the geometric mean of the range
+    then (the median can coincide with min on two-valued matrices, which
+    would put every element in the high-precision partition)."""
     a = np.abs(mtx.values[mtx.values != 0])
     if a.size == 0:
         return th
     if th <= a.min() or th > a.max():
-        return float(np.median(a))
+        return float(np.sqrt(a.min() * a.max()))
     return float(th)
 
 

@@ -28,6 +28,12 @@ def main() -> int:
     ap.add_argument("--matrices", nargs="*", default=None)
     ap.add_argument("--shards", type=int, default=1)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument(
+        "--multihost", action="store_true",
+        help="additionally run a reduced sweep on a REAL 2-process gloo "
+        "cluster (the reference validate_multi_proc.sh analogue); each "
+        "config launches two subprocesses through the public CLI",
+    )
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -106,6 +112,48 @@ def main() -> int:
             if rc != 0:
                 n_fail += 1
                 print(f"ERROR rc={rc} {os.path.basename(path)} {extra}")
+    if args.multihost:
+        # 2-process cluster sweep (reference validate_multi_proc.sh):
+        # every config runs as two real subprocesses wired by
+        # jax.distributed over gloo, validated on process 0
+        import socket
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        mh_configs = [
+            ["scs", "-c", "4", "-s", "8", "-sp"],
+            ["crs", "-dp", "-rand_x", "1"],
+            ["scs", "-c", "1024", "-s", "1", "-sp", "-seg_method",
+             "seg-nnz"],
+        ]
+        for path in matrices[:1]:
+            for extra in mh_configs:
+                s = socket.socket()
+                s.bind(("127.0.0.1", 0))
+                port = s.getsockname()[1]
+                s.close()
+                env = dict(os.environ)
+                env.pop("JAX_PLATFORMS", None)
+                env.pop("XLA_FLAGS", None)
+                env["PYTHONPATH"] = repo
+                procs = [
+                    subprocess.Popen(
+                        [sys.executable, "-m", "uspmv_tpu.cli", path,
+                         *extra, "-mode", "s", "-rev", "2", "-validate",
+                         "1", "-n_shards", "4", "-mtx_out", out_dir,
+                         "-coordinator", f"localhost:{port}",
+                         "-n_processes", "2", "-process_id", str(pid),
+                         "-local_devices", "2", "-backend", "cpu"],
+                        cwd=repo, env=env,
+                    )
+                    for pid in range(2)
+                ]
+                rcs = [p.wait(timeout=600) for p in procs]
+                n_runs += 1
+                if any(rcs):
+                    n_fail += 1
+                    print(f"ERROR multihost rc={rcs} "
+                          f"{os.path.basename(path)} {extra}")
     print(f"campaign: {n_runs} runs, {n_fail} failures")
     return 1 if n_fail else 0
 

@@ -320,3 +320,75 @@ def test_cg_example_converges():
     x, it, res = cg_mod.cg(h, b, tol=1e-5, maxiter=400)
     assert res < 1e-4
     assert np.linalg.norm(x - x_true) / np.linalg.norm(x_true) < 1e-2
+
+
+def test_spin_chain_xy_matches_dense_kron():
+    """Exact check against a dense Pauli-kron construction (L=3)."""
+    from uspmv_tpu.io.scamac import spin_chain_xy
+
+    L, Jx, Jy, Bz = 3, 1.3, 0.7, 0.25
+    sx = np.array([[0, 1], [1, 0]]) / 2.0
+    sy = np.array([[0, -1j], [1j, 0]]) / 2.0
+    # generator convention: basis index = bit pattern, bit 0 <=> spin DOWN
+    sz = np.array([[-1, 0], [0, 1]]) / 2.0
+    eye = np.eye(2)
+
+    def op(single, site):
+        # site s acts on bit s: tensor order matches the bit encoding
+        # (state bit i = spin i), kron builds from the HIGHEST site down
+        mats = [eye] * L
+        mats[L - 1 - site] = single
+        out = mats[0]
+        for m in mats[1:]:
+            out = np.kron(out, m)
+        return out
+
+    H = np.zeros((2 ** L, 2 ** L), dtype=complex)
+    for i in range(L - 1):
+        H += Jx * op(sx, i) @ op(sx, i + 1)
+        H += Jy * op(sy, i) @ op(sy, i + 1)
+    for i in range(L):
+        H += Bz * op(sz, i)
+    m = spin_chain_xy(L=L, Jx=Jx, Jy=Jy, Bz=Bz)
+    np.testing.assert_allclose(
+        m.to_scipy().toarray(), H.real, atol=1e-12
+    )
+    assert np.abs(H.imag).max() < 1e-12
+
+
+def test_spin_chain_xy_isotropic_equals_xxz_jz0():
+    from uspmv_tpu.io.scamac import spin_chain_xy, spin_chain_xxz
+
+    a = spin_chain_xy(L=8, Jx=1.0, Jy=1.0, Bz=0.0)
+    b = spin_chain_xxz(L=8, Jxy=1.0, Jz=0.0, Bz=0.0)
+    assert abs(a.to_scipy() - b.to_scipy()).max() < 1e-12
+
+
+def test_bose_hubbard_exact_small():
+    from math import comb
+
+    from uspmv_tpu.io.scamac import bose_hubbard
+
+    # L=2, N=2, U=0: H = [[0,-r2,0],[-r2,0,-r2],[0,-r2,0]], eigs {0, +-2}
+    m = bose_hubbard(n_sites=2, n_bosons=2, t=1.0, U=0.0)
+    assert m.n_rows == comb(3, 2)
+    ev = np.sort(np.linalg.eigvalsh(m.to_scipy().toarray()))
+    np.testing.assert_allclose(ev, [-2.0, 0.0, 2.0], atol=1e-12)
+    # hermitian + correct dimension + interaction diagonal
+    m2 = bose_hubbard(n_sites=5, n_bosons=4, t=0.7, U=2.0, pbc=1)
+    assert m2.n_rows == comb(8, 4)
+    A = m2.to_scipy()
+    assert abs(A - A.T).max() < 1e-12
+    # max diagonal = all bosons on one site: U/2 * N(N-1)
+    np.testing.assert_allclose(A.diagonal().max(), 2.0 / 2 * 4 * 3)
+
+
+def test_new_scamac_specs_parse():
+    from uspmv_tpu.io.scamac import scamac_generate, scamac_models
+
+    assert "spinchainxy" in scamac_models()
+    assert "bosehubbard" in scamac_models()
+    m = scamac_generate("SpinChainXY,L=6,Jx=1.0,Jy=0.5,pbc=1")
+    assert m.n_rows == 64
+    m2 = scamac_generate("BoseHubbard,n_sites=4,n_bosons=3,U=1.5")
+    assert m2.n_rows == 20

@@ -16,6 +16,10 @@ interface:
                   utilities.hpp:1610)
   SpinChainXXZ    Heisenberg XXZ chain, dimension 2^L
                   (params: L, Jxy, Jz, Bz, seed — Bz>0 adds a random field)
+  SpinChainXY     anisotropic XY chain, dimension 2^L (params: L, Jx, Jy,
+                  Bz, pbc) — Jx != Jy breaks Sz conservation
+  BoseHubbard     1-D Bose-Hubbard chain at fixed boson number
+                  (params: n_sites, n_bosons, t, U, pbc)
   Tridiagonal     1-D chain (params: n, diag, off)
 
 Specs parse as "Model,key=value,key=value" (case-insensitive model names,
@@ -220,6 +224,109 @@ def hubbard(n_sites: int = 10, n_fermions: int = 5, t: float = 1.0,
     ).sort_by_row()
 
 
+def spin_chain_xy(L: int = 14, Jx: float = 1.0, Jy: float = 1.0,
+                  Bz: float = 0.0, seed: int = 1, pbc: int = 0) -> MtxData:
+    """Anisotropic XY chain over the full 2^L basis (ScaMaC SpinChainXY):
+
+        H = sum_i [ Jx Sx_i Sx_{i+1} + Jy Sy_i Sy_{i+1} ] + Bz sum_i Sz_i
+
+    In the z-basis: (Jx+Jy)/4 flips anti-aligned neighbor pairs (the
+    S+S- exchange) and (Jx-Jy)/4 flips ALIGNED pairs (the S+S+ + S-S-
+    anisotropy, absent from the XXZ model) — so Jx != Jy breaks total-Sz
+    conservation and fills the off-sector blocks."""
+    if L > 24:
+        raise ValueError("spin_chain_xy: L > 24 would exceed memory")
+    dim = 1 << L
+    states = np.arange(dim, dtype=np.int64)
+    bonds = [(i, (i + 1) % L) for i in range(L if pbc else L - 1)]
+    sz = ((states[:, None] >> np.arange(L)[None, :]) & 1) - 0.5
+    diag = Bz * sz.sum(axis=1)
+    I, J, V = [states], [states], [diag]
+    flip = (Jx + Jy) / 4.0
+    aniso = (Jx - Jy) / 4.0
+    for i, j in bonds:
+        bi, bj = 1 << i, 1 << j
+        anti = ((states & bi) > 0) != ((states & bj) > 0)
+        if flip:
+            src = states[anti]
+            I.append(src)
+            J.append(src ^ (bi | bj))
+            V.append(np.full(src.size, flip))
+        if aniso:
+            src = states[~anti]
+            I.append(src)
+            J.append(src ^ (bi | bj))
+            V.append(np.full(src.size, aniso))
+    return MtxData.from_arrays(
+        np.concatenate(I), np.concatenate(J), np.concatenate(V),
+        n_rows=dim, n_cols=dim,
+    ).sort_by_row()
+
+
+def bose_hubbard(n_sites: int = 8, n_bosons: int = 8, t: float = 1.0,
+                 U: float = 1.0, pbc: int = 0) -> MtxData:
+    """1-D Bose-Hubbard chain at fixed boson number (ScaMaC BoseHubbard):
+
+        H = -t sum_<ij> (b+_i b_j + h.c.) + U/2 sum_i n_i (n_i - 1)
+
+    Basis: occupation vectors (n_0..n_{L-1}) with sum = n_bosons, dim =
+    C(N+L-1, N); hop amplitude -t sqrt((n_i+1) n_j) moving one boson
+    j -> i."""
+    from math import comb
+
+    L, N = n_sites, n_bosons
+    if L < 1 or N < 0:
+        raise ValueError("bose_hubbard: need n_sites >= 1, n_bosons >= 0")
+    dim = comb(N + L - 1, N)
+    if dim > (1 << 21):
+        raise ValueError(
+            f"bose_hubbard: basis dimension {dim} would exceed memory; "
+            "reduce n_sites/n_bosons"
+        )
+    # enumerate occupation vectors lexicographically (vectorized recursion
+    # over sites: states with first occupation k, then the rest)
+    occ = np.zeros((1, 0), dtype=np.int64)
+    rem = np.array([N], dtype=np.int64)
+    for s in range(L - 1):
+        reps = rem + 1  # occupations 0..rem allowed at this site
+        occ = np.repeat(occ, reps, axis=0)
+        nxt = np.concatenate([np.arange(r + 1) for r in rem])
+        occ = np.concatenate([occ, nxt[:, None]], axis=1)
+        rem = np.repeat(rem, reps) - nxt
+    occ = np.concatenate([occ, rem[:, None]], axis=1)
+    assert occ.shape[0] == dim
+    # rank states by encoding as mixed-radix keys for index lookup
+    key_of = {tuple(row): k for k, row in enumerate(occ)}
+
+    diag = 0.5 * U * (occ * (occ - 1)).sum(axis=1).astype(np.float64)
+    rows = np.arange(dim, dtype=np.int64)
+    I, J, V = [rows], [rows], [diag]
+    bonds = [(i, i + 1) for i in range(L - 1)]
+    if pbc and L > 2:
+        bonds.append((0, L - 1))
+    for a, b in bonds:
+        for src_site, dst_site in ((b, a), (a, b)):  # both hop directions
+            can = occ[:, src_site] > 0
+            src_states = occ[can]
+            amps = -t * np.sqrt(
+                (src_states[:, dst_site] + 1.0) * src_states[:, src_site]
+            )
+            dst = src_states.copy()
+            dst[:, src_site] -= 1
+            dst[:, dst_site] += 1
+            di = np.fromiter(
+                (key_of[tuple(r)] for r in dst), dtype=np.int64,
+                count=dst.shape[0],
+            )
+            I.append(rows[can])
+            J.append(di)
+            V.append(amps)
+    return MtxData.from_arrays(
+        np.concatenate(I), np.concatenate(J), np.concatenate(V),
+        n_rows=dim, n_cols=dim,
+    ).sort_by_row()
+
+
 _MODELS = {
     "anderson": lambda kw: anderson(
         Lx=int(kw.pop("lx", kw.pop("l", 8))), Ly=int(kw.pop("ly", 0)),
@@ -238,6 +345,18 @@ _MODELS = {
         L=int(kw.pop("l", 12)), Jxy=float(kw.pop("jxy", 1.0)),
         Jz=float(kw.pop("jz", 1.0)), Bz=float(kw.pop("bz", 0.0)),
         seed=int(kw.pop("seed", 1)), pbc=int(kw.pop("pbc", 0)), **kw,
+    ),
+    "spinchainxy": lambda kw: spin_chain_xy(
+        L=int(kw.pop("l", 14)), Jx=float(kw.pop("jx", 1.0)),
+        Jy=float(kw.pop("jy", 1.0)), Bz=float(kw.pop("bz", 0.0)),
+        seed=int(kw.pop("seed", 1)), pbc=int(kw.pop("pbc", 0)), **kw,
+    ),
+    "bosehubbard": lambda kw: bose_hubbard(
+        n_sites=int(kw.pop("n_sites", 8)),
+        n_bosons=int(kw.pop("n_bosons", 8)),
+        t=float(kw.pop("t", 1.0)), U=float(kw.pop("u", 1.0)),
+        pbc=int(kw.pop("pbc", kw.pop("boundary_conditions", "open")
+                        in (1, "periodic"))), **kw,
     ),
 }
 

@@ -154,6 +154,7 @@ def build_device_lane_tiles(
     x_window=None,  # None=auto, False=whole-x, True=force windowed
     block_vec_size=1,
     window_rows=None,  # None = auto (retry wide when narrow fill is poor)
+    x_block_rows_force=None,  # common window height across stacked shards
 ) -> DeviceLaneTiles:
     from .packer import pack_with_window_retry
 
@@ -229,6 +230,14 @@ def build_device_lane_tiles(
                 top[g] = w_abs[sel].max() + wr
         foot = int(np.max(top - base)) if lt.n_groups else TILE_J
         x_block_rows = min(((foot + 7) // 8) * 8, x_rows)
+        if x_block_rows_force is not None:
+            # stacked shards share one kernel program, hence one window
+            # height; the caller passes the max over shards
+            if x_block_rows_force < x_block_rows:
+                raise ValueError(
+                    "x_block_rows_force below this shard's footprint"
+                )
+            x_block_rows = min(int(x_block_rows_force), x_rows)
         base = np.minimum(base, max(x_rows - x_block_rows, 0)) & ~7
         if (
             x_block_rows * LANES * 4 * max(block_vec_size, 1) * 2
@@ -300,8 +309,9 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
     tps = devs[0].tiles_per_step
     G = devs[0].chunks_per_group
     WR = max(d.window_rows for d in devs)
+    df64 = devs[0].df64
     assert all(d.tiles_per_step == tps and d.chunks_per_group == G
-               for d in devs)
+               and d.df64 == df64 for d in devs)
     # a narrow-packed shard running under a wide stacked kernel reads
     # window_rows further into x; extend the padded extent accordingly
     x_rows_total = max(
@@ -323,7 +333,7 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
 
     vals, src, meta, sg, sf = [], [], [], [], []
     for d in devs:
-        nv = NT // 2 if vp else NT
+        nv = 2 * NT if df64 else (NT // 2 if vp else NT)
         vals.append(pad_to(d.vals, nv))
         src.append(pad_to(d.src16, NT // 2))
         meta.append(pad_to(d.meta, NT))  # zero meta = += 0 into slot cl=0
@@ -339,18 +349,43 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
             f.append(0)
         sg.append(np.asarray(g, dtype=np.int32))
         sf.append(np.asarray(f, dtype=np.int32))
+    XB = 0
     if any(d.x_block_rows for d in devs):
-        raise ValueError("windowed-x lane tiles cannot be stacked (sharding "
-                         "already divides x; build shards with x_window=False)")
+        # windowed-x shards (halo-extended x beyond the VMEM budget): the
+        # stacked kernel is ONE program, so all shards must share the
+        # window height (callers rebuild with x_block_rows_force = max)
+        # and the per-group window bases stack per shard
+        XB = max(d.x_block_rows for d in devs)
+        if any(d.x_block_rows not in (0, XB) for d in devs):
+            raise ValueError(
+                "stacked windowed shards must share x_block_rows "
+                "(rebuild with x_block_rows_force)"
+            )
+        if any(d.x_block_rows == 0 for d in devs):
+            raise ValueError(
+                "cannot stack windowed and whole-x shards together "
+                "(force x_window=True on all)"
+            )
+        if any(d.window_rows != WR for d in devs):
+            raise ValueError(
+                "windowed stacked shards must share window_rows (a "
+                "narrow-packed shard would read past the common window)"
+            )
+        gxb = np.stack(
+            [pad_to(np.asarray(d.group_xbase), NG) for d in devs]
+        ).astype(np.int32)
+    else:
+        gxb = np.zeros((len(devs), NG), dtype=np.int32)
     return DeviceLaneTiles(
         vals=jnp.asarray(np.stack(vals)),
         src16=jnp.asarray(np.stack(src)),
         meta=jnp.asarray(np.stack(meta)),
         step_group=jnp.asarray(np.stack(sg)),
         step_first=jnp.asarray(np.stack(sf)),
-        group_xbase=jnp.zeros((len(devs), NG), dtype=jnp.int32),
+        group_xbase=jnp.asarray(gxb),
         window_rows=WR,
         x_rows_total=x_rows_total,
+        x_block_rows=XB,
         tiles_per_step=tps,
         chunks_per_group=G,
         n_groups=NG,
@@ -358,6 +393,7 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
         n_rows_padded=max(d.n_rows_padded for d in devs),
         nnz=sum(d.nnz for d in devs),
         fill=float(np.mean([d.fill for d in devs])),
+        df64=df64,
     )
 
 
@@ -534,11 +570,12 @@ def _kernel_df64(
     # blocked inputs
     vals_ref,  # (2*TILES_PER_STEP, 8, 128) f32: tile 2k = hi, 2k+1 = lo
     src_ref,  # (TILES_PER_STEP/2, 16, 128) int16 gather tables
-    x_ref,  # (2, x_rows, 128) f32: plane 0 = hi, plane 1 = lo
-    out_ref,  # (2, G, 8, 128) f32 running double-float accumulator
+    x_ref,  # (2, bs, x_rows, 128) f32: plane 0 = hi, plane 1 = lo
+    out_ref,  # (2, bs, G, 8, 128) f32 running double-float accumulator
     *,
     tps,
     wr,
+    bs,
 ):
     """Double-float (f32, f32) SpMV — the dp-on-TPU emulation path.
 
@@ -568,14 +605,20 @@ def _kernel_df64(
         sub_tab = jnp.right_shift(packed, 7)
         vh = vals_ref[2 * k]
         vl = vals_ref[2 * k + 1]
-        gh = _gather_window(x_ref[I32_0, pl.ds(w, wr), :], sub_tab, lane_tab, wr)
-        gl = _gather_window(x_ref[I32_1, pl.ds(w, wr), :], sub_tab, lane_tab, wr)
-        ph, pe = _two_prod(vh, gh)
-        plo = pe + vh * gl + vl * gh  # v*x to ~2^-48 (vl*gl dropped)
-        sh = out_ref[I32_0, cl]
-        th, te = _two_sum(sh, ph)
-        out_ref[I32_0, cl] = th
-        out_ref[I32_1, cl] = out_ref[I32_1, cl] + (te + plo)
+        for b in range(bs):
+            bi = np.int32(b)
+            gh = _gather_window(
+                x_ref[I32_0, bi, pl.ds(w, wr), :], sub_tab, lane_tab, wr
+            )
+            gl = _gather_window(
+                x_ref[I32_1, bi, pl.ds(w, wr), :], sub_tab, lane_tab, wr
+            )
+            ph, pe = _two_prod(vh, gh)
+            plo = pe + vh * gl + vl * gh  # v*x to ~2^-48 (vl*gl dropped)
+            sh = out_ref[I32_0, bi, cl]
+            th, te = _two_sum(sh, ph)
+            out_ref[I32_0, bi, cl] = th
+            out_ref[I32_1, bi, cl] = out_ref[I32_1, bi, cl] + (te + plo)
 
 
 def _kernel(
@@ -848,17 +891,25 @@ def _kernel_windowed(
 
 
 def _spmv_lane_tiles_df64(dev, x, interpret):
-    """Double-float SpMV: x is an [n, 2] f32 (hi, lo) pair, returns the
-    [n_rows_padded, 2] pair (see _kernel_df64)."""
-    assert x.ndim == 2 and x.shape[1] == 2, "df64 x must be an (n, 2) pair"
+    """Double-float SpMV: x is an [n, 2] f32 (hi, lo) pair — or
+    [n, bs, 2] for a rowwise block vector — returns the matching
+    [n_rows_padded(, bs), 2] pair (see _kernel_df64)."""
+    assert x.shape[-1] == 2, "df64 x must be an (n[, bs], 2) pair"
+    block = x.ndim == 3
+    bs = x.shape[1] if block else 1
     n_pad = dev.n_rows_padded
     x_rows = max(
         (x.shape[0] + LANES - 1) // LANES, dev.window_rows, dev.x_rows_total
     )
     x3d = x.astype(jnp.float32)
+    if not block:
+        x3d = x3d[:, None, :]  # (n, 1, 2)
     if x3d.shape[0] < x_rows * LANES:
-        x3d = jnp.pad(x3d, ((0, x_rows * LANES - x3d.shape[0]), (0, 0)))
-    x3d = x3d.T.reshape(2, x_rows, LANES)
+        x3d = jnp.pad(
+            x3d, ((0, x_rows * LANES - x3d.shape[0]), (0, 0), (0, 0))
+        )
+    # (n, bs, 2) -> (2, bs, x_rows, 128)
+    x4d = jnp.transpose(x3d, (2, 1, 0)).reshape(2, bs, x_rows, LANES)
     Z = np.int32(0)
     nt = dev.n_tiles
     tps = dev.tiles_per_step
@@ -874,10 +925,11 @@ def _spmv_lane_tiles_df64(dev, x, interpret):
         memory_space=pltpu.VMEM,
     )
     x_spec = pl.BlockSpec(
-        x3d.shape, lambda s, m, g, f: (Z, Z, Z), memory_space=pltpu.VMEM
+        x4d.shape, lambda s, m, g, f: (Z, Z, Z, Z),
+        memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
-        (2, G, TILE_J, LANES), lambda s, m, g, f: (Z, g[s], Z, Z),
+        (2, bs, G, TILE_J, LANES), lambda s, m, g, f: (Z, Z, g[s], Z, Z),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -887,14 +939,17 @@ def _spmv_lane_tiles_df64(dev, x, interpret):
         out_specs=out_spec,
     )
     y = pl.pallas_call(
-        functools.partial(_kernel_df64, tps=tps, wr=dev.window_rows),
+        functools.partial(
+            _kernel_df64, tps=tps, wr=dev.window_rows, bs=bs
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (2, dev.n_groups * G, TILE_J, LANES), jnp.float32
+            (2, bs, dev.n_groups * G, TILE_J, LANES), jnp.float32
         ),
         interpret=interpret,
-    )(dev.meta, dev.step_group, dev.step_first, dev.vals, dev.src16, x3d)
-    return y.reshape(2, -1)[:, :n_pad].T
+    )(dev.meta, dev.step_group, dev.step_first, dev.vals, dev.src16, x4d)
+    y = jnp.transpose(y.reshape(2, bs, -1)[:, :, :n_pad], (2, 1, 0))
+    return y if block else y[:, 0, :]
 
 
 def spmv_lane_tiles(

@@ -215,6 +215,7 @@ class DistributedSpmvOperator:
         do_split = (
             config.split_rows_threshold >= 0
             and not config.is_ap
+            and not config.dp_emulation  # folds would renormalize pairs
             and sigma == 1
             and use_lane_tiles(config)
         )
@@ -330,20 +331,22 @@ class DistributedSpmvOperator:
                     scatters=[jnp.asarray(hp.recv_scatter_idx[d]) for d in hp.offsets],
                 )
 
-        overlap = config.overlap_comm and config.comm_mode != "allgather"
-        from ..ops.pallas_scs import lane_tiles_fit
+        # df64 partial sums are (hi, lo) pairs; adding interior + halo
+        # partials componentwise outside the kernel would round away the
+        # error-free structure, so overlap is off under -dp_emu
+        overlap = (config.overlap_comm and config.comm_mode != "allgather"
+                   and not config.dp_emulation)
+        from ..ops.pallas_scs import MAX_META_TILES
         from ..runtime.operator import use_lane_tiles
 
-        max_x = max(
-            (plans[p].H + 1) if plans[p] is not None else R * n_loc
-            for p in precisions
-        )
-        lane = use_lane_tiles(config) and lane_tiles_fit(
-            max_x,
-            config.block_vec_size if config.vector_layout == "rowwise" else 1,
-            n_elements=max(
-                s.n_elements for lst in scs.values() for s in lst
-            ),
+        # shards whose halo-extended x exceeds the VMEM budget use
+        # per-group HBM->VMEM x windows (the same machinery as single-chip
+        # large-x, stacked with a common window height); only the SMEM
+        # meta budget gates the lane path now
+        lane = use_lane_tiles(config) and (
+            max(s.n_elements for lst in scs.values() for s in lst)
+            // CHUNK_ROWS
+            <= MAX_META_TILES
         )
         if lane:
             from ..ops.packer import (
@@ -351,6 +354,7 @@ class DistributedSpmvOperator:
                 resolve_chunks_per_group,
             )
             from ..ops.pallas_scs import (
+                LaneTileBudgetError,
                 build_device_lane_tiles,
                 stack_device_lane_tiles,
             )
@@ -367,18 +371,49 @@ class DistributedSpmvOperator:
 
             def build_stack(structs, p, x_len):
                 # one window size for the whole stack (the stacked kernel
-                # is a single program); single-sourced narrow-vs-wide policy
+                # is a single program); single-sourced narrow-vs-wide
+                # policy. x beyond the VMEM budget engages per-group
+                # HBM->VMEM x windows — all shards share x_len, so the
+                # auto decision is uniform; a second pass forces the max
+                # window height onto every shard (one program, one XB).
                 from ..ops.packer import pack_with_window_retry
+                from ..ops.pallas_scs import lane_tiles_fit
 
-                return pack_with_window_retry(lambda wr: stack_device_lane_tiles([
-                    build_device_lane_tiles(
-                        s, dtype=dtype_for(p), tiles_per_step=tps,
-                        chunks_per_group=cpg, x_len=x_len,
-                        x_window=False,  # sharding already divides x
-                        window_rows=wr,
+                eff = (config.block_vec_size
+                       if config.vector_layout == "rowwise" else 1)
+                # df64 x travels as (hi, lo) pairs -> 2x the VMEM footprint
+                df64_p = np.dtype(dtype_for(p)) == np.float64
+                windowed = not lane_tiles_fit(
+                    int(x_len), eff * (2 if df64_p else 1)
+                )
+                if windowed and df64_p:
+                    raise LaneTileBudgetError(
+                        "dp emulation (df64) has no windowed-x kernel; "
+                        "per-shard x exceeds the VMEM budget"
                     )
-                    for s in structs
-                ]))
+
+                def mk(wr, xb_force=None):
+                    return [
+                        build_device_lane_tiles(
+                            s, dtype=dtype_for(p), tiles_per_step=tps,
+                            chunks_per_group=cpg, x_len=x_len,
+                            x_window=windowed,
+                            block_vec_size=eff,
+                            window_rows=wr,
+                            x_block_rows_force=xb_force,
+                        )
+                        for s in structs
+                    ]
+
+                def one(wr):
+                    devs_l = mk(wr)
+                    if windowed:
+                        xb = max(d.x_block_rows for d in devs_l)
+                        if any(d.x_block_rows != xb for d in devs_l):
+                            devs_l = mk(wr, xb_force=xb)
+                    return stack_device_lane_tiles(devs_l)
+
+                return pack_with_window_retry(one)
         def _build_all(use_lane):
             devs: Dict[str, DeviceScs] = {}
             devs_halo: Dict[str, Optional[DeviceScs]] = {}
@@ -728,6 +763,12 @@ class DistributedSpmvOperator:
 
     # ---------------------------------------------------------------- vectors
 
+    def _is_df64(self) -> bool:
+        from ..ops.pallas_scs import DeviceLaneTiles
+
+        d = next(iter(self.devs.values()))
+        return isinstance(d, DeviceLaneTiles) and d.df64
+
     def make_x(self, x_in: Optional[np.ndarray] = None):
         host = init_x_host(
             self.config, self.n_rows, self.matrix_stats,
@@ -742,6 +783,12 @@ class DistributedSpmvOperator:
         for r in range(self.R):
             lo, hi = int(ws[r]), int(ws[r + 1])
             out[r][self.shard_perms[r]] = host[lo:hi]
+        if self._is_df64():
+            # exact f64 -> (hi, lo) f32 pair split for the df64 kernel;
+            # the halo exchange is dtype-agnostic and ships the pairs
+            hi_ = out.astype(np.float32)
+            lo_ = (out - hi_.astype(np.float64)).astype(np.float32)
+            out = np.stack([hi_, lo_], axis=-1)
         if bs > 1 and self.config.vector_layout == "colwise":
             out = np.moveaxis(out, -1, 0)  # [bs, R, n_loc]
             spec = P(None, "rows")
@@ -764,6 +811,9 @@ class DistributedSpmvOperator:
         for r in range(self.R):
             lo, hi = int(ws[r]), int(ws[r + 1])
             out[lo:hi] = y[r][self.shard_perms[r]]
+        if self._is_df64():
+            out = (out[..., 0].astype(np.float64)
+                   + out[..., 1].astype(np.float64))
         if self.global_perm is not None:
             out = out[self.global_perm]
         return out
@@ -821,7 +871,8 @@ class DistributedSpmvOperator:
         from ..ops.pallas_scs import DeviceLaneTiles
 
         if any(isinstance(d, DeviceLaneTiles) for d in self.devs.values()):
-            return "pallas-lane-tiles"
+            return ("pallas-lane-tiles-df64" if self._is_df64()
+                    else "pallas-lane-tiles")
         if self.config.kernel_format == "crs":
             return "xla-flat-crs"
         return "xla-tiled-scs"

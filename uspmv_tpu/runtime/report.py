@@ -77,6 +77,14 @@ def format_bench_block(cfg: Config, res: BenchResult) -> str:
             "behavioral split here is per-vector (colwise vmap) vs bulk "
             "(rowwise fused) exchange"
         )
+    if cfg.block_vec_size > 1 and cfg.vector_layout == "colwise":
+        lines.append(
+            f"note: colwise SpMMV streams the matrix once PER RHS vector "
+            f"(~{cfg.block_vec_size}x the matrix traffic of rowwise — the "
+            "reference's colwise layout has the same property per its "
+            "X[vec_len*v + row] indexing, kernels.hpp:68-154); use "
+            "-layout rowwise for the fused single-stream kernel"
+        )
     if cfg.comm_mode == "graphtopo":
         lines.append(
             "note: comm_mode=graphtopo — the reference's "
