@@ -75,7 +75,7 @@ def main() -> int:
     extras = {}
     from uspmv_tpu.io.generators import banded_imbalanced, fem_tet3d
 
-    from uspmv_tpu.io.generators import powerlaw_cols
+    from uspmv_tpu.io.generators import powerlaw_cols, random_imbalanced
 
     for name, make in (
         ("fem_tet3d_55", lambda: fem_tet3d(55)),  # Queen_4147-class FEM
@@ -86,6 +86,10 @@ def main() -> int:
         # mixed-chunk tile mode (graceful degradation — the XLA fallback
         # measures 0.2 GFLOP/s on this class)
         ("powerlaw_cols_500k", lambda: powerlaw_cols(500_000, 8)),
+        # uniform-random columns: the worst case; runs the 3-pass
+        # transpose-stream mode (runtime/tstream.py)
+        ("random_imbalanced_500k",
+         lambda: random_imbalanced(500_000, 8)),
     ):
         m2 = make()
         op2 = SpmvOperator.from_mtx(Config(

@@ -126,7 +126,7 @@ USPMV_API const char* uspmv_last_error() { return g_error.c_str(); }
 // Bumped whenever an exported signature changes; the ctypes loader
 // refuses to bind a library whose version differs (a stale .so with the
 // old float* pack_fetch would corrupt memory silently).
-USPMV_API int64_t uspmv_abi_version() { return 3; }
+USPMV_API int64_t uspmv_abi_version() { return 4; }
 
 // Reads a MatrixMarket coordinate file. Returns a handle (or null on error;
 // see uspmv_last_error). Mirrors uspmv_tpu/io/mmio.py:read_mtx.
@@ -932,3 +932,279 @@ USPMV_API void uspmv_mixed_fetch(const MixedHandle* h, double* vals,
 }
 
 USPMV_API void uspmv_mixed_free(MixedHandle* h) { delete h; }
+
+// ---------------------------------------------------------------------------
+// Product-tile packer (phase 1 of the transpose-stream mode; see
+// uspmv_tpu/ops/packer.py pack_product_tiles — bit-identical fast twin).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ProductHandle {
+  int64_t nt = 0;
+  int64_t NB = 0;
+  int64_t NCg = 0;
+  int64_t s_pad = 0;
+  int64_t n_packed = 0;
+  int64_t n_spill = 0;
+  std::vector<double> vals;      // [nt, 8, 128]
+  std::vector<int32_t> src_tab;  // [nt, 8, 128]
+  std::vector<int32_t> w_row;    // [nt]
+  std::vector<int64_t> elem_rows;
+  std::vector<int64_t> elem_pos;
+  std::vector<int64_t> spill_rows;
+  std::vector<int64_t> spill_cols;
+  std::vector<double> spill_vals;
+};
+
+}  // namespace
+
+USPMV_API ProductHandle* uspmv_pack_product_tiles(
+    int64_t n_chunks, int64_t n_rows_padded, const int32_t* chunk_ptrs,
+    const int32_t* chunk_lengths, const int32_t* col_idxs,
+    const double* values, const int32_t* row_counts_new,
+    double s_cap_factor) {
+  (void)n_rows_padded;
+  const int64_t kWrows = 32;  // PRODUCT_WINDOW_ROWS
+  const int64_t W = kWrows * kLanes;
+
+  // gather elements per cell (cell = b * n_chunks + c), cell-major
+  int64_t n_cols = 1;
+  struct Elem {
+    int64_t cell;
+    int32_t col;
+    int64_t row;
+    double val;
+  };
+  std::vector<Elem> elems;
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    const int64_t L = chunk_lengths[c];
+    const int64_t base = chunk_ptrs[c];
+    for (int64_t k = 0; k < L; ++k)
+      for (int64_t r = 0; r < kChunkRows; ++r) {
+        if (row_counts_new[c * kChunkRows + r] <= k) continue;
+        const int64_t e = base + k * kChunkRows + r;
+        const int32_t col = col_idxs[e];
+        if (col + 1 > n_cols) n_cols = col + 1;
+        elems.push_back(Elem{0, col, c * kChunkRows + r, values[e]});
+      }
+  }
+  const int64_t NB = (n_cols + W - 1) / W;
+  const int64_t NCg = (n_chunks + 127) / 128;
+  for (auto& e : elems) e.cell = (e.col / W) * n_chunks + e.row / kChunkRows;
+  std::stable_sort(elems.begin(), elems.end(),
+                   [](const Elem& a, const Elem& b) { return a.cell < b.cell; });
+
+  // cell sizes -> padded capacity (mirror the Python formula)
+  std::vector<int64_t> csize(NB * n_chunks, 0);
+  for (const auto& e : elems) ++csize[e.cell];
+  int64_t cmax = 1;
+  double csum = 0;
+  for (int64_t v : csize) {
+    cmax = std::max(cmax, v);
+    csum += (double)v;
+  }
+  const double lam = std::max(csum / (double)csize.size(), 1.0);
+  int64_t s_cap = std::min<int64_t>(std::max<int64_t>(cmax, 8),
+                                    (int64_t)std::max(s_cap_factor * lam, 16.0));
+  const int64_t s_pad = ((s_cap + 7) / 8) * 8;
+  const int64_t s8 = s_pad / 8;
+
+  const int64_t nt = NB * NCg * s8;
+  auto* h = new ProductHandle();
+  h->nt = nt;
+  h->NB = NB;
+  h->NCg = NCg;
+  h->s_pad = s_pad;
+  h->vals.assign(nt * kChunkRows, 0.0);
+  std::vector<int32_t> lane_tab(nt * kChunkRows, 0);
+  std::vector<int32_t> sub_tab(nt * kChunkRows, 0);
+  std::vector<uint8_t> s_set(nt * kChunkRows, 0);
+  h->w_row.assign(nt, 0);
+  for (int64_t t = 0; t < nt; ++t)
+    h->w_row[t] = (int32_t)((t / (NCg * s8)) * kWrows);
+
+  h->elem_rows.reserve(elems.size());
+  h->elem_pos.reserve(elems.size());
+  int64_t ei = 0;
+  const int64_t n_el = (int64_t)elems.size();
+  while (ei < n_el) {
+    const int64_t ci = elems[ei].cell;
+    const int64_t b = ci / n_chunks;
+    const int64_t c = ci % n_chunks;
+    const int64_t g2 = c / 128;
+    const int64_t j = c % 128;
+    const int64_t tile0 = (b * NCg + g2) * s8;
+    const int64_t pos0 = (c * NB + b) * s_pad;
+    std::vector<uint8_t> used_k(s_pad, 0);
+    for (; ei < n_el && elems[ei].cell == ci; ++ei) {
+      const Elem& el = elems[ei];
+      const int32_t l_e = el.col & (kLanes - 1);
+      const int32_t s_e = (int32_t)((el.col - b * W) >> 7);
+      bool placed = false;
+      // first-fit from 0 (see the Python twin): a forward-only pointer
+      // strands pin-skipped slots and spills elements they could take
+      for (int64_t k = 0; k < s_pad; ++k) {
+        if (used_k[k]) continue;
+        const int64_t t = tile0 + (k >> 3);
+        const int64_t a = k & 7;
+        const int64_t pin = t * kChunkRows + a * kLanes + l_e;
+        if (!s_set[pin] || sub_tab[pin] == s_e) {
+          h->vals[t * kChunkRows + a * kLanes + j] = el.val;
+          lane_tab[t * kChunkRows + a * kLanes + j] = l_e;
+          sub_tab[pin] = s_e;
+          s_set[pin] = 1;
+          used_k[k] = 1;
+          h->elem_rows.push_back(el.row);
+          h->elem_pos.push_back(pos0 + k);
+          placed = true;
+          break;
+        }
+      }
+      if (!placed) {
+        h->spill_rows.push_back(el.row);
+        h->spill_cols.push_back(el.col);
+        h->spill_vals.push_back(el.val);
+      }
+    }
+  }
+  h->n_packed = (int64_t)h->elem_rows.size();
+  h->n_spill = (int64_t)h->spill_rows.size();
+  h->src_tab.assign(nt * kChunkRows, 0);
+  for (int64_t e = 0; e < nt * kChunkRows; ++e)
+    h->src_tab[e] = (sub_tab[e] << 7) | lane_tab[e];
+  return h;
+}
+
+USPMV_API void uspmv_product_sizes(const ProductHandle* h, int64_t* nt,
+                                   int64_t* NB, int64_t* NCg,
+                                   int64_t* s_pad, int64_t* n_packed,
+                                   int64_t* n_spill) {
+  *nt = h->nt;
+  *NB = h->NB;
+  *NCg = h->NCg;
+  *s_pad = h->s_pad;
+  *n_packed = h->n_packed;
+  *n_spill = h->n_spill;
+}
+
+USPMV_API void uspmv_product_fetch(const ProductHandle* h, double* vals,
+                                   int32_t* src_tab, int32_t* w_row,
+                                   int64_t* elem_rows, int64_t* elem_pos,
+                                   int64_t* spill_rows, int64_t* spill_cols,
+                                   double* spill_vals) {
+  memcpy(vals, h->vals.data(), h->vals.size() * 8);
+  memcpy(src_tab, h->src_tab.data(), h->src_tab.size() * 4);
+  memcpy(w_row, h->w_row.data(), h->w_row.size() * 4);
+  memcpy(elem_rows, h->elem_rows.data(), h->elem_rows.size() * 8);
+  memcpy(elem_pos, h->elem_pos.data(), h->elem_pos.size() * 8);
+  if (h->n_spill) {
+    memcpy(spill_rows, h->spill_rows.data(), h->spill_rows.size() * 8);
+    memcpy(spill_cols, h->spill_cols.data(), h->spill_cols.size() * 8);
+    memcpy(spill_vals, h->spill_vals.data(), h->spill_vals.size() * 8);
+  }
+}
+
+USPMV_API void uspmv_product_free(ProductHandle* h) { delete h; }
+
+// ---------------------------------------------------------------------------
+namespace { inline int64_t lslot0(int64_t i, int64_t lane) { return i * kLanes + lane; } }
+
+// Column-walk packer (per-chunk column-sorted sliding greedy into standard
+// lane tiles; see uspmv_tpu/ops/packer.py pack_lane_tiles_colwalk — fast
+// bit-identical twin; Python applies the shared ordering/padding tail).
+// ---------------------------------------------------------------------------
+
+USPMV_API MixedHandle* uspmv_pack_colwalk(
+    int64_t n_chunks, int64_t n_rows_padded, const int32_t* chunk_ptrs,
+    const int32_t* chunk_lengths, const int32_t* col_idxs,
+    const double* values, const int32_t* row_counts_new, int64_t x_len,
+    int64_t window_rows) {
+  (void)n_rows_padded;
+  const int64_t wrows = window_rows > 0 ? window_rows : 32;
+  const int64_t kWindow = wrows * kLanes;
+  const int64_t x_rows = std::max((x_len + kLanes - 1) / kLanes, wrows);
+  const int64_t max_wrow = std::max(x_rows - wrows, (int64_t)0);
+
+  struct Elem {
+    int32_t col;
+    int16_t i, j;
+    double val;
+  };
+  std::vector<Elem> elems;
+  std::vector<MixedTile> tiles;
+
+  auto* h = new MixedHandle();
+  h->m = 1;
+
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    elems.clear();
+    const int64_t L = chunk_lengths[c];
+    const int64_t base = chunk_ptrs[c];
+    for (int64_t k = 0; k < L; ++k)
+      for (int64_t r = 0; r < kChunkRows; ++r) {
+        if (row_counts_new[c * kChunkRows + r] <= k) continue;
+        const int64_t e = base + k * kChunkRows + r;
+        elems.push_back(Elem{col_idxs[e], (int16_t)(r >> 7),
+                             (int16_t)(r & (kLanes - 1)), values[e]});
+      }
+    std::stable_sort(elems.begin(), elems.end(),
+                     [](const Elem& a, const Elem& b) { return a.col < b.col; });
+    int64_t open_head = (int64_t)tiles.size();
+    for (const Elem& el : elems) {
+      const int64_t col = el.col;
+      const int64_t slot = (int64_t)el.i * kLanes + el.j;
+      while (open_head < (int64_t)tiles.size() &&
+             (int64_t)tiles[open_head].w * kLanes + kWindow <= col)
+        ++open_head;
+      bool placed = false;
+      for (int64_t tix = open_head; tix < (int64_t)tiles.size(); ++tix) {
+        MixedTile& t = tiles[tix];
+        const int64_t off = col - (int64_t)t.w * kLanes;
+        if (off >= kWindow || t.occ[slot]) continue;
+        const int32_t lane = (int32_t)(off & (kLanes - 1));
+        const int32_t s = (int32_t)(off >> 7);
+        const int64_t lslot = (int64_t)el.i * kLanes + lane;
+        if (t.s_set[lslot] && t.sub[lslot] != s) continue;
+        t.vals[slot] = el.val;
+        t.lane[slot] = lane;
+        t.sub[lslot] = s;
+        t.s_set[lslot] = 1;
+        t.occ[slot] = 1;
+        placed = true;
+        break;
+      }
+      if (!placed) {
+        tiles.emplace_back();
+        MixedTile& t = tiles.back();
+        t.w = (int32_t)std::min(col / kLanes, max_wrow);
+        t.group = (int32_t)c;  // chunk id rides the group field
+        const int64_t off = col - (int64_t)t.w * kLanes;
+        const int32_t lane = (int32_t)(off & (kLanes - 1));
+        const int32_t s = (int32_t)(off >> 7);
+        t.vals[slot] = el.val;
+        t.lane[slot] = lane;
+        t.sub[lslot0(el.i, lane)] = s;
+        t.s_set[lslot0(el.i, lane)] = 1;
+        t.occ[slot] = 1;
+      }
+    }
+  }
+
+  const int64_t nt = std::max((int64_t)tiles.size(), (int64_t)1);
+  h->nt = nt;
+  h->vals.assign(nt * kChunkRows, 0.0);
+  h->src_tab.assign(nt * kChunkRows, 0);
+  h->w_row.assign(nt, 0);
+  h->grp.assign(nt, 0);
+  h->cls.assign(nt, 0);
+  for (int64_t k = 0; k < (int64_t)tiles.size(); ++k) {
+    const MixedTile& t = tiles[k];
+    std::copy(t.vals.begin(), t.vals.end(), h->vals.begin() + k * kChunkRows);
+    for (int64_t e = 0; e < kChunkRows; ++e)
+      h->src_tab[k * kChunkRows + e] = (t.sub[e] << 7) | t.lane[e];
+    h->w_row[k] = t.w;
+    h->grp[k] = t.group;  // = tile_chunk
+  }
+  return h;
+}

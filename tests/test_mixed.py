@@ -127,17 +127,21 @@ def test_window_fill_estimator():
 
 
 def test_operator_forced_mixed_matches_scipy():
+    """bs=2 rowwise keeps the 3-pass mode out (it is bs=1 only), so this
+    exercises the masked mixed-tile operator end to end."""
     from uspmv_tpu.runtime.operator import SpmvOperator
 
     rand = random_imbalanced(30_000, 8, seed=1)
     cfg = Config(kernel_format="scs", chunk_size=1024, sigma=1,
-                 value_type="sp", backend="cpu", mixed_tiles=True)
+                 value_type="sp", backend="cpu", mixed_tiles=True,
+                 block_vec_size=2, vector_layout="rowwise")
     op = SpmvOperator.from_mtx(cfg, rand)
     assert op.impl_name() == "pallas-mixed-tiles"
     A = rand.to_scipy().astype(np.float64)
     x = np.random.default_rng(2).standard_normal(rand.n_rows)
-    y = op.to_host(op.spmv(op.make_x(x)))
-    ref = A @ x
+    xb = np.stack([x, 2 * x], axis=1)
+    y = op.to_host(np.asarray(op.spmv(op.make_x(xb))))
+    ref = np.stack([A @ x, A @ (2 * x)], axis=1)
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
 
 
@@ -158,3 +162,106 @@ def test_powerlaw_cols_generator():
     # hub columns: the most popular column appears in far more rows than
     # the median column
     assert counts.max() > 50 * max(np.median(counts), 1)
+
+
+# ------------------------- transpose-stream (3-pass) mode ----------------
+
+
+def test_product_tiles_native_parity(rand_scs):
+    from uspmv_tpu.native import pack_product_tiles_native
+    from uspmv_tpu.ops.packer import pack_product_tiles
+
+    b = pack_product_tiles_native(rand_scs, np.float32)
+    if b is None:
+        pytest.skip("native host library unavailable")
+    a = pack_product_tiles(rand_scs, native=False)
+    for f in ("vals", "src_tab", "w_row", "elem_rows", "elem_pos",
+              "spill_rows", "spill_cols", "spill_vals"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
+    assert (a.NB, a.NCg, a.s_pad, a.nnz_packed) == (
+        b.NB, b.NCg, b.s_pad, b.nnz_packed
+    )
+
+
+def test_tstream_host_decode_exact(rand_scs):
+    """Phase-1 pack + transpose geometry + B' element map reconstruct y
+    exactly on the host (no kernels involved)."""
+    from uspmv_tpu.ops.packer import (
+        LANES,
+        PRODUCT_WINDOW_ROWS,
+        TILE_J,
+        pack_product_tiles,
+    )
+
+    scs = rand_scs
+    pt = pack_product_tiles(scs)
+    x = np.random.default_rng(0).standard_normal(scs.n_rows_padded)
+    wr = PRODUCT_WINDOW_ROWS
+    x_rows = max((scs.n_rows_padded + 127) // 128,
+                 wr + int(pt.w_row.max()))
+    xp = np.zeros(x_rows * LANES)
+    xp[: scs.n_rows_padded] = x
+    x2d = xp.reshape(-1, LANES)
+    s8 = pt.s_pad // 8
+    p = np.zeros((pt.n_tiles, TILE_J, LANES))
+    for t in range(pt.n_tiles):
+        w = int(pt.w_row[t])
+        win = x2d[w : w + wr]
+        src = pt.src_tab[t]
+        lane = src & 127
+        sub = (src >> 7) & 63
+        g = win[sub[np.arange(TILE_J)[:, None], lane], lane]
+        p[t] = pt.vals[t].astype(np.float64) * g
+    P = p.reshape(pt.NB, pt.NCg, s8, TILE_J, LANES)
+    PT = np.transpose(P, (1, 4, 0, 2, 3)).reshape(
+        pt.NCg * 128, pt.NB * pt.s_pad
+    )[: pt.n_chunks].reshape(-1)
+    y = np.zeros(scs.n_rows_padded)
+    np.add.at(y, pt.elem_rows, PT[pt.elem_pos])
+    if pt.spill_rows.size:
+        np.add.at(y, pt.spill_rows, pt.spill_vals * xp[pt.spill_cols])
+    ref = scs.spmv_reference(x)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_tstream_device_interpret(rand_scs):
+    from uspmv_tpu.runtime.tstream import build_tstream, spmv_tstream
+
+    scs = rand_scs
+    dev = build_tstream(scs)
+    x = np.random.default_rng(0).standard_normal(
+        scs.n_rows_padded
+    ).astype(np.float32)
+    y = np.asarray(spmv_tstream(dev, x, interpret=True))
+    ref = scs.spmv_reference(x)
+    err = np.abs(y - ref[: scs.n_rows_padded]).max() / np.abs(ref).max()
+    assert err < 1e-5
+
+
+def test_operator_tstream_auto(rand_scs):
+    """With mixed_tiles forced on and bs=1, the operator prefers the
+    3-pass mode and still matches scipy end to end."""
+    from uspmv_tpu.runtime.operator import SpmvOperator
+
+    rand = random_imbalanced(30_000, 8, seed=1)
+    cfg = Config(kernel_format="scs", chunk_size=1024, sigma=1,
+                 value_type="sp", backend="cpu", mixed_tiles=True)
+    op = SpmvOperator.from_mtx(cfg, rand)
+    assert op.impl_name() == "pallas-tstream"
+    A = rand.to_scipy().astype(np.float64)
+    x = np.random.default_rng(2).standard_normal(rand.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_colwalk_native_parity(rand_scs):
+    from uspmv_tpu.native import pack_colwalk_native
+    from uspmv_tpu.ops.packer import pack_lane_tiles_colwalk
+
+    b = pack_colwalk_native(rand_scs, np.float32, window_rows=32)
+    if b is None:
+        pytest.skip("native host library unavailable")
+    a = pack_lane_tiles_colwalk(rand_scs, window_rows=32, native=False)
+    for f in ("vals", "src_tab", "w_row", "tile_chunk"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f))

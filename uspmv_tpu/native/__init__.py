@@ -64,7 +64,7 @@ def _try_build() -> bool:
         return False
 
 
-_ABI_VERSION = 3  # must match uspmv_abi_version() in native/uspmv_host.cpp
+_ABI_VERSION = 4  # must match uspmv_abi_version() in native/uspmv_host.cpp
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -111,6 +111,22 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_void_p, _f64p, _i32p, _i32p, _i32p, _i32p,
     ]
     lib.uspmv_mixed_free.argtypes = [ctypes.c_void_p]
+    lib.uspmv_pack_colwalk.restype = ctypes.c_void_p
+    lib.uspmv_pack_colwalk.argtypes = [
+        _i64, _i64, _i32p, _i32p, _i32p, _f64p, _i32p, _i64, _i64,
+    ]
+    lib.uspmv_pack_product_tiles.restype = ctypes.c_void_p
+    lib.uspmv_pack_product_tiles.argtypes = [
+        _i64, _i64, _i32p, _i32p, _i32p, _f64p, _i32p, ctypes.c_double,
+    ]
+    lib.uspmv_product_sizes.argtypes = [
+        ctypes.c_void_p, _i64p, _i64p, _i64p, _i64p, _i64p, _i64p,
+    ]
+    lib.uspmv_product_fetch.argtypes = [
+        ctypes.c_void_p, _f64p, _i32p, _i32p, _i64p, _i64p, _i64p, _i64p,
+        _f64p,
+    ]
+    lib.uspmv_product_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -262,6 +278,132 @@ def convert_to_scs_native(mtx, C: int, sigma: int, dtype=None,
         new_to_old_idx=new_to_old,
         n_cols=mtx.n_cols,
         row_counts_new=row_counts,
+    )
+
+
+def pack_colwalk_native(scs, dtype, tiles_per_step=None,
+                        chunks_per_group=None, x_len=None, window_rows=32):
+    """Native column-walk greedy -> ops.packer.LaneTiles (bit-identical to
+    the Python twin; the shared finalize runs in Python)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "uspmv_pack_colwalk"):
+        return None
+    dtype = np.dtype(dtype)
+    from ..ops.packer import (
+        CHUNK_ROWS,
+        LANES,
+        TILE_J,
+        _finalize_colwalk,
+    )
+
+    if scs.C != CHUNK_ROWS:
+        raise ValueError("colwalk packing requires C=1024")
+    if scs.row_counts_new is None:
+        return None
+    if x_len is None:
+        x_len = scs.n_rows_padded
+    cp = np.ascontiguousarray(scs.chunk_ptrs, dtype=np.int32)
+    cl = np.ascontiguousarray(scs.chunk_lengths, dtype=np.int32)
+    ci = np.ascontiguousarray(scs.col_idxs, dtype=np.int32)
+    vals = np.ascontiguousarray(scs.values, dtype=np.float64)
+    rc = np.ascontiguousarray(scs.row_counts_new, dtype=np.int32)
+    h = lib.uspmv_pack_colwalk(
+        scs.n_chunks, scs.n_rows_padded, _ptr_i32(cp), _ptr_i32(cl),
+        _ptr_i32(ci), vals.ctypes.data_as(_f64p), _ptr_i32(rc),
+        int(x_len), int(window_rows),
+    )
+    if not h:
+        _raise_last(lib)
+    try:
+        nt = _i64(0)
+        m = _i64(0)
+        lib.uspmv_mixed_sizes(h, ctypes.byref(nt), ctypes.byref(m))
+        tvals = np.empty((nt.value, TILE_J, LANES), dtype=np.float64)
+        src = np.empty((nt.value, TILE_J, LANES), dtype=np.int32)
+        w_row = np.empty(nt.value, dtype=np.int32)
+        tchunk = np.empty(nt.value, dtype=np.int32)
+        cls = np.empty((nt.value, max(m.value, 1)), dtype=np.int32)
+        lib.uspmv_mixed_fetch(
+            h, tvals.ctypes.data_as(_f64p), _ptr_i32(src), _ptr_i32(w_row),
+            _ptr_i32(tchunk), _ptr_i32(cls),
+        )
+    finally:
+        lib.uspmv_mixed_free(h)
+    return _finalize_colwalk(
+        tvals.astype(dtype) if dtype != np.float64 else tvals,
+        src, w_row.astype(np.int64), tchunk.astype(np.int32), scs,
+        tiles_per_step, chunks_per_group, int(window_rows),
+    )
+
+
+def pack_product_tiles_native(scs, dtype, s_cap_factor=4.0):
+    """Native phase-1 product-tile greedy -> ops.packer.ProductTiles
+    (bit-identical to the Python reference twin); None if unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "uspmv_pack_product_tiles"):
+        return None
+    dtype = np.dtype(dtype)
+    from ..ops.packer import CHUNK_ROWS, LANES, TILE_J, ProductTiles
+
+    if scs.C != CHUNK_ROWS:
+        raise ValueError("product tiles require C=1024")
+    if scs.row_counts_new is None:
+        return None
+    cp = np.ascontiguousarray(scs.chunk_ptrs, dtype=np.int32)
+    cl = np.ascontiguousarray(scs.chunk_lengths, dtype=np.int32)
+    ci = np.ascontiguousarray(scs.col_idxs, dtype=np.int32)
+    vals = np.ascontiguousarray(scs.values, dtype=np.float64)
+    rc = np.ascontiguousarray(scs.row_counts_new, dtype=np.int32)
+    h = lib.uspmv_pack_product_tiles(
+        scs.n_chunks, scs.n_rows_padded, _ptr_i32(cp), _ptr_i32(cl),
+        _ptr_i32(ci), vals.ctypes.data_as(_f64p), _ptr_i32(rc),
+        float(s_cap_factor),
+    )
+    if not h:
+        _raise_last(lib)
+    try:
+        nt = _i64(0)
+        NB = _i64(0)
+        NCg = _i64(0)
+        s_pad = _i64(0)
+        n_packed = _i64(0)
+        n_spill = _i64(0)
+        lib.uspmv_product_sizes(
+            h, ctypes.byref(nt), ctypes.byref(NB), ctypes.byref(NCg),
+            ctypes.byref(s_pad), ctypes.byref(n_packed),
+            ctypes.byref(n_spill),
+        )
+        tvals = np.empty((nt.value, TILE_J, LANES), dtype=np.float64)
+        src = np.empty((nt.value, TILE_J, LANES), dtype=np.int32)
+        w_row = np.empty(nt.value, dtype=np.int32)
+        erows = np.empty(n_packed.value, dtype=np.int64)
+        epos = np.empty(n_packed.value, dtype=np.int64)
+        srows = np.empty(max(n_spill.value, 1), dtype=np.int64)
+        scols = np.empty(max(n_spill.value, 1), dtype=np.int64)
+        svals = np.empty(max(n_spill.value, 1), dtype=np.float64)
+        lib.uspmv_product_fetch(
+            h, tvals.ctypes.data_as(_f64p), _ptr_i32(src), _ptr_i32(w_row),
+            erows.ctypes.data_as(_i64p), epos.ctypes.data_as(_i64p),
+            srows.ctypes.data_as(_i64p), scols.ctypes.data_as(_i64p),
+            svals.ctypes.data_as(_f64p),
+        )
+    finally:
+        lib.uspmv_product_free(h)
+    ns = n_spill.value
+    return ProductTiles(
+        vals=tvals.astype(dtype) if dtype != np.float64 else tvals,
+        src_tab=src,
+        w_row=w_row,
+        NB=int(NB.value),
+        NCg=int(NCg.value),
+        s_pad=int(s_pad.value),
+        n_chunks=scs.n_chunks,
+        nnz_packed=int(n_packed.value),
+        elem_rows=erows,
+        elem_pos=epos,
+        spill_rows=srows[:ns],
+        spill_cols=scols[:ns],
+        spill_vals=svals[:ns],
     )
 
 

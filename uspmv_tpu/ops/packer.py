@@ -753,3 +753,382 @@ def _pack_spills(extra, chunk, cols, vals, iis, jjs, max_wrow, dtype,
             extra["sub"][k][i, l] = s
             t["s_set"][i, l] = True
             t["occ"][i, j] = True
+
+
+# --- product tiles: phase 1 of the transpose-stream (3-pass) mode --------
+#
+# The masked mixed-tile mode is VMEM-RMW-bound (~4-11 GFLOP/s on
+# zero-locality matrices). The 3-pass mode sidesteps output RMW entirely:
+#
+#   phase 1  products kernel: p[pos] = val * x[col], written SEQUENTIALLY
+#            to a padded cell grid P[block b][cell-group g2][k1][a][j]
+#            (cell = (column-block b, row-chunk c); j = c%128, g2 = c//128;
+#            k = k1*8 + a indexes the element within its cell) — elements
+#            of a tile share one column block, so gather windows are
+#            narrow and slots carry no row constraint at all;
+#   phase 2  one XLA transpose of P to PT[c][b][k] (row-chunk-major);
+#   phase 3  y = B' @ PT through the REGULAR lane-tile kernel, where B'
+#            is the 0/1 matrix mapping each row to its PT positions —
+#            chunk c's sources all live in its own contiguous slab, so B'
+#            has banded-like locality (plus heavy-row splitting + fold).
+#
+# The k slot of each element is chosen to satisfy the two-step gather's
+# one-sublane-per-(tile-row, source-lane) pin; elements that cannot place
+# within their cell's k slots (pin saturation or cell overflow beyond
+# S_CAP) are SPILLED to a COO tail the operator runs through the mixed
+# path against the original x.
+
+PRODUCT_WINDOW_ROWS = 32  # column block = 4096 x entries
+
+
+@dataclasses.dataclass
+class ProductTiles:
+    """Phase-1 packed tiles + the cell geometry phases 2/3 need."""
+
+    vals: np.ndarray  # [nt, 8, 128]
+    src_tab: np.ndarray  # [nt, 8, 128] int32 (sub<<7)|lane
+    w_row: np.ndarray  # [nt] int32 window start (x2d rows)
+    NB: int  # column blocks
+    NCg: int  # cell groups (ceil(n_chunks/128))
+    s_pad: int  # padded cell capacity (multiple of 8)
+    n_chunks: int
+    nnz_packed: int
+    # packed element map for B' (phase 3): row + PT position per element
+    elem_rows: np.ndarray  # [n_packed] int64 (permuted row space)
+    elem_pos: np.ndarray  # [n_packed] int64: (c*NB + b)*s_pad + k
+    # spilled elements (original column space, PERMUTED row space)
+    spill_rows: np.ndarray
+    spill_cols: np.ndarray
+    spill_vals: np.ndarray
+    window_rows: int = PRODUCT_WINDOW_ROWS
+
+    @property
+    def n_tiles(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def fill(self) -> float:
+        return self.nnz_packed / max(self.vals.size, 1)
+
+
+def pack_product_tiles(
+    scs: ScsData,
+    dtype=np.float32,
+    s_cap_factor: float = 4.0,
+    native: bool | None = None,
+) -> ProductTiles:
+    """Pack phase-1 product tiles from an SCS (C=1024, any row perm).
+
+    Layout: per (b, g2) the positions form an [s_pad/8, 8, 128] grid —
+    tile t = (b, g2, k1) holds k-slots [8*k1, 8*k1+8) of 128 cells, so a
+    cell's elements spread across tile-rows AND tiles, giving the greedy
+    k-assignment the freedom to dodge gather-pin conflicts (a cell laid
+    contiguously would pin its whole population to one tile-row, measured
+    ~18% conflicts on random columns)."""
+    if scs.C != CHUNK_ROWS:
+        raise ValueError("product tiles require C=1024")
+    if native is not False:
+        from ..native import pack_product_tiles_native
+
+        out = pack_product_tiles_native(scs, dtype, s_cap_factor)
+        if out is not None:
+            return out
+        if native is True:
+            raise RuntimeError("native host library unavailable")
+    W = PRODUCT_WINDOW_ROWS * LANES
+    n_chunks = scs.n_chunks
+    n_cols = max(int(scs.col_idxs.max(initial=0)) + 1, 1)
+    NB = (n_cols + W - 1) // W
+    NCg = (n_chunks + 127) // 128
+
+    keep = ~scs.padding_mask()
+    cols = scs.col_idxs[keep].astype(np.int64)
+    vals = scs.values[keep].astype(dtype)
+    chunk, _j, r_in = scs.element_coords()
+    chunk = chunk[keep].astype(np.int64)
+    rows = (chunk * CHUNK_ROWS + r_in[keep]).astype(np.int64)
+
+    b_of = cols // W
+    cell = b_of * n_chunks + chunk  # global cell id (b-major)
+    # cell sizes -> padded capacity
+    csize = np.bincount(cell, minlength=NB * n_chunks)
+    lam = max(float(csize.mean()), 1.0)
+    s_cap = int(min(max(csize.max(initial=1), 8),
+                    max(s_cap_factor * lam, 16)))
+    s_pad = ((s_cap + 7) // 8) * 8
+    s8 = s_pad // 8
+
+    nt = NB * NCg * s8
+    out_vals = np.zeros((nt, TILE_J, LANES), dtype=dtype)
+    lane_tab = np.zeros((nt, TILE_J, LANES), dtype=np.int32)
+    sub_tab = np.zeros((nt, TILE_J, LANES), dtype=np.int32)
+    s_set = np.zeros((nt, TILE_J, LANES), dtype=bool)
+    w_row = np.zeros(nt, dtype=np.int32)
+    # tile (b, g2, k1) index and its window
+    tb = np.arange(nt) // (NCg * s8)
+    w_row[:] = (tb * PRODUCT_WINDOW_ROWS).astype(np.int32)
+
+    order = np.argsort(cell, kind="stable")
+    bounds = np.searchsorted(cell[order], np.arange(NB * n_chunks + 1))
+    sp_r, sp_c, sp_v = [], [], []
+    n_el = cols.size
+    elem_rows = np.empty(n_el, dtype=np.int64)
+    elem_pos = np.empty(n_el, dtype=np.int64)
+    n_packed = 0
+    for ci in range(NB * n_chunks):
+        lo, hi = bounds[ci], bounds[ci + 1]
+        if lo == hi:
+            continue
+        b = ci // n_chunks
+        c = ci % n_chunks
+        g2 = c // 128
+        j = c % 128
+        tile0 = (b * NCg + g2) * s8
+        pos0 = (c * NB + b) * s_pad
+        used_k = np.zeros(s_pad, dtype=bool)
+        for e in order[lo:hi]:
+            col = int(cols[e])
+            l_e = col & (LANES - 1)
+            s_e = (col - b * W) >> 7
+            placed = False
+            # first-fit from 0: a forward-only pointer would strand the
+            # k slots skipped over pin conflicts and spill later elements
+            # that those slots could still take
+            for k in range(s_pad):
+                if used_k[k]:
+                    continue
+                t = tile0 + (k >> 3)
+                a = k & 7
+                if not s_set[t, a, l_e] or sub_tab[t, a, l_e] == s_e:
+                    out_vals[t, a, j] = vals[e]
+                    lane_tab[t, a, j] = l_e
+                    sub_tab[t, a, l_e] = s_e
+                    s_set[t, a, l_e] = True
+                    used_k[k] = True
+                    placed = True
+                    elem_rows[n_packed] = rows[e]
+                    elem_pos[n_packed] = pos0 + k
+                    n_packed += 1
+                    break
+            if not placed:
+                sp_r.append(rows[e])
+                sp_c.append(col)
+                sp_v.append(vals[e])
+    spill_rows = np.asarray(sp_r, dtype=np.int64)
+    spill_cols = np.asarray(sp_c, dtype=np.int64)
+    spill_vals = np.asarray(sp_v, dtype=np.float64)
+    return ProductTiles(
+        vals=out_vals,
+        src_tab=(sub_tab << 7) | lane_tab,
+        w_row=w_row,
+        NB=NB,
+        NCg=NCg,
+        s_pad=s_pad,
+        n_chunks=n_chunks,
+        nnz_packed=n_packed,
+        elem_rows=elem_rows[:n_packed],
+        elem_pos=elem_pos[:n_packed],
+        spill_rows=spill_rows,
+        spill_cols=spill_cols,
+        spill_vals=spill_vals,
+    )
+
+
+def pack_lane_tiles_colwalk(
+    scs: ScsData,
+    dtype=np.float32,
+    tiles_per_step: int | None = None,
+    chunks_per_group: int | None = None,
+    x_len: int | None = None,
+    window_rows: int = 32,
+    native: bool | None = None,
+) -> LaneTiles:
+    """Column-sorted sliding-window packing into standard LaneTiles.
+
+    The two-pointer packer bins elements by j-plane, whose windows are the
+    per-plane column minima; when a chunk's rows hit near-uniform random
+    positions inside a wide band (the B' matrices of the transpose-stream
+    mode: each chunk reads its own contiguous PT slab), the plane minima
+    spread by half the band and most elements spill (measured fill 0.11).
+    Walking each chunk's elements in column order with a head-pruned open
+    tile list instead keeps windows sliding smoothly (same greedy as the
+    mixed packer at band size 1 — no selectors needed since a tile serves
+    one chunk). Slot (i, j) stays fixed by the row; the one-sublane-per-
+    (tile-row, source-lane) pin applies as usual."""
+    if scs.C != CHUNK_ROWS:
+        raise ValueError("colwalk packing requires C=1024")
+    if native is not False:
+        from ..native import pack_colwalk_native
+
+        out = pack_colwalk_native(
+            scs, dtype, tiles_per_step=tiles_per_step,
+            chunks_per_group=chunks_per_group, x_len=x_len,
+            window_rows=window_rows,
+        )
+        if out is not None:
+            return out
+        if native is True:
+            raise RuntimeError("native host library unavailable")
+    window = window_rows * LANES
+    if x_len is None:
+        x_len = scs.n_rows_padded
+    x_rows = max((x_len + LANES - 1) // LANES, window_rows)
+    max_wrow = max(x_rows - window_rows, 0)
+    n_chunks = scs.n_chunks
+    if chunks_per_group is None:
+        chunks_per_group = resolve_chunks_per_group(n_chunks)
+    G = chunks_per_group
+
+    keep = ~scs.padding_mask()
+    cols_all = scs.col_idxs[keep].astype(np.int64)
+    vals_all = scs.values[keep].astype(dtype)
+    chunk, _j, r_in = scs.element_coords()
+    chunk = chunk[keep].astype(np.int64)
+    si_all = (r_in[keep] >> 7).astype(np.int64)
+    sj_all = (r_in[keep] & (LANES - 1)).astype(np.int64)
+
+    order = np.lexsort((cols_all, chunk))
+    starts = np.searchsorted(chunk[order], np.arange(n_chunks + 1))
+
+    t_vals: list = []
+    t_lane: list = []
+    t_sub: list = []
+    t_w: list = []
+    t_chunk: list = []
+    n_spilled = 0
+    for c in range(n_chunks):
+        seg = order[starts[c] : starts[c + 1]]
+        if seg.size == 0:
+            continue
+        open_tiles: list = []
+        head = 0
+        for e in seg:
+            col = int(cols_all[e])
+            i = int(si_all[e])
+            j = int(sj_all[e])
+            while head < len(open_tiles) and (
+                open_tiles[head]["w"] * LANES + window <= col
+            ):
+                head += 1
+            placed = False
+            for t in open_tiles[head:]:
+                off = col - t["w"] * LANES
+                if off >= window or t["occ"][i, j]:
+                    continue
+                lane, s = off & (LANES - 1), off >> 7
+                if t["s_set"][i, lane] and t["sub"][i, lane] != s:
+                    continue
+                t["vals"][i, j] = vals_all[e]
+                t["lane"][i, j] = lane
+                t["sub"][i, lane] = s
+                t["s_set"][i, lane] = True
+                t["occ"][i, j] = True
+                placed = True
+                break
+            if not placed:
+                w = min(col // LANES, max_wrow)
+                t = {
+                    "w": w,
+                    "vals": np.zeros((TILE_J, LANES), dtype=dtype),
+                    "lane": np.zeros((TILE_J, LANES), dtype=np.int32),
+                    "sub": np.zeros((TILE_J, LANES), dtype=np.int32),
+                    "s_set": np.zeros((TILE_J, LANES), dtype=bool),
+                    "occ": np.zeros((TILE_J, LANES), dtype=bool),
+                }
+                off = col - w * LANES
+                lane, s = off & (LANES - 1), off >> 7
+                t["vals"][i, j] = vals_all[e]
+                t["lane"][i, j] = lane
+                t["sub"][i, lane] = s
+                t["s_set"][i, lane] = True
+                t["occ"][i, j] = True
+                open_tiles.append(t)
+                t_vals.append(t["vals"])
+                t_lane.append(t["lane"])
+                t_sub.append(t["sub"])
+                t_w.append(w)
+                t_chunk.append(c)
+
+    nt = len(t_vals)
+    if nt == 0:
+        vals_out = np.zeros((1, TILE_J, LANES), dtype=dtype)
+        src_tab = np.zeros((1, TILE_J, LANES), dtype=np.int32)
+        w_row = np.zeros(1, dtype=np.int64)
+        base_chunk = np.zeros(1, dtype=np.int32)
+    else:
+        vals_out = np.stack(t_vals)
+        src_tab = np.stack(
+            [(s.astype(np.int32) << 7) | l for s, l in zip(t_sub, t_lane)]
+        )
+        w_row = np.asarray(t_w, dtype=np.int64)
+        base_chunk = np.asarray(t_chunk, dtype=np.int32)
+
+    return _finalize_colwalk(
+        vals_out, src_tab, w_row, base_chunk, scs, tiles_per_step,
+        chunks_per_group, window_rows, n_spilled,
+    )
+
+
+def _finalize_colwalk(vals_out, src_tab, w_row, base_chunk, scs,
+                      tiles_per_step, chunks_per_group, window_rows,
+                      n_spilled=0):
+    """Shared tail of the Python and native colwalk packers: ordering +
+    per-group step padding (same scheme as pack_lane_tiles — round-robin
+    across the group's chunks to break the RMW RAW chain)."""
+    n_chunks = scs.n_chunks
+    G = chunks_per_group if chunks_per_group is not None else (
+        resolve_chunks_per_group(n_chunks)
+    )
+    order0 = np.argsort(base_chunk, kind="stable")
+    bc = base_chunk[order0].astype(np.int64)
+    starts2 = np.concatenate(([0], np.flatnonzero(np.diff(bc)) + 1))
+    lens_run = np.diff(np.append(starts2, bc.size))
+    rank = np.arange(bc.size) - np.repeat(starts2, lens_run)
+    key = (bc // G) * (1 << 42) + rank * (1 << 21) + bc
+    reorder = order0[np.argsort(key, kind="stable")]
+    vals_out = vals_out[reorder]
+    src_tab = src_tab[reorder]
+    w_row = w_row[reorder]
+    base_chunk = base_chunk[reorder]
+
+    if tiles_per_step is None:
+        tiles_per_step = auto_tiles_per_step(vals_out.shape[0])
+    n_groups = max((n_chunks + G - 1) // G, 1)
+    tile_group = base_chunk // G
+    cnt = np.bincount(tile_group, minlength=n_groups)
+    cnt_pad = np.maximum(
+        (cnt + tiles_per_step - 1) // tiles_per_step, 1
+    ) * tiles_per_step
+    nt_pad = int(cnt_pad.sum())
+    nt = vals_out.shape[0]
+    if nt_pad != nt:
+        ends = np.cumsum(cnt)
+        ends_pad = np.cumsum(cnt_pad)
+        src_pos = np.arange(nt) + (ends_pad - ends)[tile_group] - (
+            cnt_pad - cnt
+        )[tile_group]
+        v = np.zeros((nt_pad, TILE_J, LANES), dtype=vals_out.dtype)
+        s = np.zeros((nt_pad, TILE_J, LANES), dtype=np.int32)
+        w = np.zeros(nt_pad, dtype=np.int64)
+        cch = np.repeat(
+            np.arange(n_groups, dtype=np.int32) * G, cnt_pad
+        )
+        v[src_pos] = vals_out
+        s[src_pos] = src_tab
+        w[src_pos] = w_row
+        cch[src_pos] = base_chunk
+        vals_out, src_tab, w_row, base_chunk = v, s, w, cch
+
+    return LaneTiles(
+        vals=vals_out,
+        src_tab=src_tab,
+        w_row=w_row.astype(np.int64),
+        tile_chunk=base_chunk.astype(np.int32),
+        n_chunks=n_chunks,
+        n_rows_padded=scs.n_rows_padded,
+        nnz=scs.nnz,
+        n_spilled=n_spilled,
+        tiles_per_step=tiles_per_step,
+        chunks_per_group=G,
+        window_rows=window_rows,
+    )

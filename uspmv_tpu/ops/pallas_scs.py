@@ -155,10 +155,20 @@ def build_device_lane_tiles(
     block_vec_size=1,
     window_rows=None,  # None = auto (retry wide when narrow fill is poor)
     x_block_rows_force=None,  # common window height across stacked shards
+    packer="two-pointer",  # "colwalk" = column-sorted sliding greedy
 ) -> DeviceLaneTiles:
-    from .packer import pack_with_window_retry
+    from .packer import pack_lane_tiles_colwalk, pack_with_window_retry
 
     def pack(wr):
+        if packer == "colwalk":
+            return pack_lane_tiles_colwalk(
+                scs,
+                dtype=dtype,
+                tiles_per_step=tiles_per_step,
+                chunks_per_group=chunks_per_group,
+                x_len=x_len,
+                window_rows=wr,
+            )
         return pack_lane_tiles(
             scs,
             dtype=dtype,
@@ -669,6 +679,131 @@ def _kernel(
             out_ref[b, cl] = out_ref[b, cl] + v * g.astype(acc_dtype)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceProductTiles:
+    """Phase-1 of the transpose-stream mode (see ops/packer.py
+    pack_product_tiles): per tile, gather x from one narrow window and
+    write the products SEQUENTIALLY — no output read-modify-write at
+    all. Phases 2/3 (XLA transpose + the regular lane-tile kernel over
+    the 0/1 row map) turn the product stream into y."""
+
+    vals: jax.Array  # [nt, 8, 128]
+    src16: jax.Array  # [nt/2, 16, 128] int16 (sub<<7)|lane
+    meta: jax.Array  # [nt] int32: window start row
+
+    tiles_per_step: int = dataclasses.field(metadata=dict(static=True))
+    n_tiles_static: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    fill: float = dataclasses.field(metadata=dict(static=True))
+    window_rows: int = dataclasses.field(metadata=dict(static=True))
+    x_rows_total: int = dataclasses.field(metadata=dict(static=True))
+
+    def stream_bytes(self) -> int:
+        return int(self.vals.nbytes + self.src16.nbytes)
+
+
+def build_device_product_tiles(pt, dtype=np.float32, device=None):
+    from .packer import auto_tiles_per_step
+
+    nt = pt.n_tiles
+    tps = auto_tiles_per_step(nt)
+    # pad to a multiple of tps (and even, for src16 pairing)
+    nt_pad = ((nt + tps - 1) // tps) * tps
+    vals = pt.vals.astype(dtype)
+    src = pt.src_tab
+    w = pt.w_row
+    if nt_pad != nt:
+        vals = np.pad(vals, ((0, nt_pad - nt), (0, 0), (0, 0)))
+        src = np.pad(src, ((0, nt_pad - nt), (0, 0), (0, 0)))
+        w = np.pad(w, (0, nt_pad - nt))
+    src16 = src.astype(np.uint16).view(np.int16).reshape(
+        nt_pad // 2, 2 * TILE_J, LANES
+    )
+    put = lambda a: jax.device_put(a, device) if device else jnp.asarray(a)
+    x_rows = int(w.max(initial=0)) + pt.window_rows
+    return DeviceProductTiles(
+        vals=put(vals),
+        src16=put(src16),
+        meta=put(w.astype(np.int32)),
+        tiles_per_step=tps,
+        n_tiles_static=nt_pad,
+        nnz=pt.nnz_packed,
+        fill=pt.fill,
+        window_rows=pt.window_rows,
+        x_rows_total=x_rows,
+    )
+
+
+def _kernel_products(
+    meta_ref,  # [nt] int32 window start row
+    # blocked inputs
+    vals_ref,
+    src_ref,
+    x_ref,  # (x_rows, 128) whole x in VMEM
+    out_ref,  # (tps, 8, 128) — this step's product block, written once
+    *,
+    tps,
+    wr,
+):
+    step = pl.program_id(0)
+    base = step * tps
+    for k in range(tps):
+        w = meta_ref[base + k]
+        half = (k % 2) * TILE_J
+        packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
+        lane_tab = jnp.bitwise_and(packed, LANES - 1)
+        sub_tab = jnp.bitwise_and(jnp.right_shift(packed, 7), 63)
+        v = vals_ref[k]
+        window = x_ref[pl.ds(w, wr), :]
+        g = _gather_window(window, sub_tab, lane_tab, wr)
+        out_ref[k] = v * g
+
+
+def spmv_product_tiles(
+    dev: DeviceProductTiles, x: jax.Array, interpret: Optional[bool] = None
+) -> jax.Array:
+    """Phase 1: products p[tile, a, j] = val * x[col]. x: [n] f32."""
+    if interpret is None:
+        interpret = not pallas_supported()
+    x_rows = max((x.shape[0] + LANES - 1) // LANES, dev.x_rows_total)
+    x2 = x.astype(jnp.float32)
+    if x2.shape[0] < x_rows * LANES:
+        x2 = jnp.pad(x2, (0, x_rows * LANES - x2.shape[0]))
+    x2 = x2.reshape(x_rows, LANES)
+    Z = np.int32(0)
+    tps = dev.tiles_per_step
+    nt = dev.n_tiles_static
+    ns = nt // tps
+    vals_spec = pl.BlockSpec(
+        (tps, TILE_J, LANES), lambda s, m_: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    src_spec = pl.BlockSpec(
+        (tps // 2, 2 * TILE_J, LANES), lambda s, m_: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    x_spec = pl.BlockSpec(
+        x2.shape, lambda s, m_: (Z, Z), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (tps, TILE_J, LANES), lambda s, m_: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ns,),
+        in_specs=[vals_spec, src_spec, x_spec],
+        out_specs=out_spec,
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_products, tps=tps, wr=dev.window_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nt, TILE_J, LANES), jnp.float32),
+        interpret=interpret,
+    )(dev.meta, dev.vals, dev.src16, x2)
+
+
 def _kernel_mixed(
     # scalar-prefetch refs (SMEM)
     meta_ref,  # [nt] int32 packed (w_row << 6) | band
@@ -1066,6 +1201,10 @@ def spmv_pallas(dev, x, interpret: Optional[bool] = None):
     """Operator-facing entry: dispatch on device-format type. Rowwise block
     vectors ([n, bs]) run the fused SpMMV kernel — one matrix stream shared
     by all RHS columns."""
+    if type(dev).__name__ == "TStreamDev":
+        from ..runtime.tstream import spmv_tstream
+
+        return spmv_tstream(dev, x, interpret=interpret)
     if isinstance(dev, DeviceMixedTiles):
         return spmv_mixed_tiles(dev, x, interpret=interpret)
     if not isinstance(dev, DeviceLaneTiles):

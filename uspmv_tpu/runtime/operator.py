@@ -484,6 +484,18 @@ class SpmvOperator:
                 use_mixed = (
                     _window_fill_estimate(mtx) < MIXED_EST_CUTOFF
                 )
+        # zero-locality tier 1: the 3-pass transpose-stream mode with its
+        # own LOAD-BALANCING row permutation (chunk loads even out so the
+        # phase-1 cell padding stays tight; heavy rows are handled by the
+        # B' split inside the mode, so no pre-splitting here). Falls
+        # through to the split + mixed-tile tier on any budget refusal.
+        if (use_mixed and config.block_vec_size == 1
+                and config.split_rows_threshold >= 0):
+            op = cls._try_tstream(
+                config, mtx, stats, jac, equilib, C_log, sigma_log, n_real
+            )
+            if op is not None:
+                return op
         if (C > 1 and config.split_rows_threshold >= 0
                 and not config.dp_emulation):
             th = config.split_rows_threshold
@@ -606,6 +618,9 @@ class SpmvOperator:
             )
 
             def _build_mixed():
+                # masked mixed tiles (the transpose-stream tier is tried
+                # earlier in from_mtx with its own load-balancing row
+                # permutation; this is the fallback tier)
                 return {
                     p: build_device_mixed_tiles(
                         s, dtype=dtype_for(p), device=device,
@@ -662,8 +677,11 @@ class SpmvOperator:
         fold_dev = None
         if devs is not None and fold_idx is not None:
             from ..ops.pallas_scs import DeviceLaneTiles, DeviceMixedTiles
+            from .tstream import TStreamDev
 
-            if all(isinstance(d, (DeviceLaneTiles, DeviceMixedTiles))
+            if all(isinstance(d,
+                              (DeviceLaneTiles, DeviceMixedTiles,
+                               TStreamDev))
                    for d in devs.values()):
                 fold_dev = _build_fold_dev(
                     fold_idx, primary.n_rows_padded, device,
@@ -700,6 +718,80 @@ class SpmvOperator:
             device=device,
             logical_beta=logical_beta,
             retiled=retiled,
+        )
+
+    @classmethod
+    def _try_tstream(cls, config, mtx, stats, jac, equilib, C_log,
+                     sigma_log, n_real):
+        """Build the 3-pass transpose-stream operator (runtime/tstream.py)
+        with a LOAD-BALANCING row permutation: rows dealt round-robin by
+        descending nnz so every 1024-chunk carries ~equal load — the
+        phase-1 cell capacity is a single global constant, so uneven
+        chunks would inflate the padded product grid (measured: pareto
+        row clustering pushed the cell cap 4x over the mean and spilled
+        10% of the elements). Returns None when any budget refuses."""
+        from ..formats.scs import logical_elements, sigma_window_perm
+        from ..ops.packer import CHUNK_ROWS
+        from ..ops.pallas_scs import LaneTileBudgetError
+        from .tstream import build_tstream
+
+        prec = config.value_type
+        # cap EXTREME rows first: a monster row's elements concentrate in
+        # ONE chunk's cells and inflate the global cell capacity (the
+        # B' fold also supports <= 1023 pieces of 8 per row); the few
+        # virtual rows fold by a tiny scatter-add afterwards
+        split_plan = None
+        n_orig = mtx.n_rows
+        counts_orig = np.bincount(mtx.I, minlength=n_orig).astype(np.int64)
+        mtx, sp_parent = split_heavy_rows(mtx, 2048)
+        counts = np.bincount(mtx.I, minlength=mtx.n_rows).astype(np.int64)
+        nch = (mtx.n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS
+        n_pad = nch * CHUNK_ROWS
+        cpad = np.zeros(n_pad, dtype=np.int64)
+        cpad[: mtx.n_rows] = counts
+        order = np.argsort(-cpad, kind="stable")
+        bperm = np.empty(n_pad, dtype=np.int32)
+        i = np.arange(n_pad, dtype=np.int64)
+        bperm[order] = ((i % nch) * CHUNK_ROWS + i // nch).astype(np.int32)
+
+        scs_t = convert_to_scs(
+            mtx.astype(dtype_for(prec)), CHUNK_ROWS, 1,
+            fixed_permutation=bperm,
+        )
+        permute_scs_cols(scs_t, bperm)
+        device = resolve_device(config)
+        try:
+            ts = build_tstream(scs_t, dtype=dtype_for(prec), device=device)
+        except LaneTileBudgetError:
+            return None
+        # logical (user C, sigma) beta is format accounting, independent
+        # of the execution permutation
+        if sp_parent is not None:
+            virt_ids = np.arange(n_orig, mtx.n_rows, dtype=np.int64)
+            split_plan = (
+                bperm[virt_ids].astype(np.int64),
+                bperm[sp_parent].astype(np.int64),
+            )
+        # logical beta reflects the UNsplit user format
+        lperm, _lpad = sigma_window_perm(
+            counts_orig, n_orig, C_log, sigma_log
+        )
+        le = logical_elements(counts_orig, lperm, C_log)
+        return cls(
+            config=config,
+            n_rows=n_real,
+            n_rows_padded=scs_t.n_rows_padded,
+            scs={prec: scs_t},
+            devs={prec: ts},
+            old_to_new=bperm[:n_real],
+            matrix_stats=stats,
+            nnz=mtx.nnz,
+            split_plan=split_plan,
+            jacobi_diag=jac,
+            equilib=equilib,
+            device=device,
+            logical_beta={prec: mtx.nnz / le if le else 1.0},
+            retiled=(C_log != CHUNK_ROWS),
         )
 
     # ------------------------------------------------------------- execution
@@ -905,6 +997,9 @@ class SpmvOperator:
         so a user can see e.g. that dp landed on the CPU/XLA path)."""
         from ..ops.pallas_scs import DeviceLaneTiles, DeviceMixedTiles
 
+        if any(type(d).__name__ == "TStreamDev"
+               for d in self.devs.values()):
+            return "pallas-tstream"
         if any(isinstance(d, DeviceMixedTiles) for d in self.devs.values()):
             return "pallas-mixed-tiles"
         if any(isinstance(d, DeviceLaneTiles) for d in self.devs.values()):

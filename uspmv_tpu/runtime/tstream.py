@@ -1,0 +1,282 @@
+"""Transpose-stream (3-pass) SpMV for zero-column-locality matrices.
+
+The masked mixed-tile mode is VMEM-RMW-bound at ~4-11 GFLOP/s on
+random/power-law column matrices (BASELINE.md round 3). This mode pays the
+randomness once, in a layout change, instead of every output update:
+
+  phase 1  ``spmv_product_tiles``: p = val * x[col] written sequentially
+           into a padded (column-block x row-chunk) cell grid — narrow
+           gather windows (one column block per tile), NO output RMW;
+  phase 2  one XLA transpose of the cell grid from column-block-major to
+           row-chunk-major (PT);
+  phase 3  y = B' @ PT through the REGULAR lane-tile kernel: B' is the
+           0/1 matrix mapping each row to its PT positions. Chunk c's
+           sources all live in its own contiguous slab, so B' has
+           banded-like locality; heavy rows split into virtual rows and
+           fold back through the vectorized ±1-matrix fold.
+
+Elements the phase-1 greedy cannot place (gather-pin saturation or cell
+overflow — hub columns) spill to a mixed-tile term on the original x.
+
+Reference parity note: this whole mode is the TPU answer to the graceful
+degradation the reference's CRS kernels get for free from CPU cachelines
+(kernels.hpp:22-63) — there is no reference analogue to cite for the
+mechanism, only for the requirement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.coo import MtxData, align_split_rows
+from ..formats.scs import ScsData, convert_to_scs
+from ..ops.packer import CHUNK_ROWS, LANES, TILE_J, pack_product_tiles
+from ..ops.pallas_scs import (
+    DeviceLaneTiles,
+    DeviceMixedTiles,
+    LaneTileBudgetError,
+    build_device_lane_tiles,
+    build_device_mixed_tiles,
+    build_device_product_tiles,
+    lane_tiles_fit,
+    spmv_lane_tiles,
+    spmv_mixed_tiles,
+    spmv_product_tiles,
+)
+
+B_SPLIT_TH = 8  # B' heavy-row split threshold (slot-multiplicity bound)
+B_CHUNKS_PER_GROUP = 16  # real part: per-group PT window = 16 slabs
+B_VIRT_CHUNKS_PER_GROUP = 4  # virtual part: parent slabs spread wider
+# Hub-dominated matrices overflow the capped cells and spill a few
+# percent of their elements; the spill term then costs more than the
+# 3-pass saves over the masked mixed mode (measured: PowerLawCols 3.5 vs
+# 10.9 GFLOP/s mixed), so the mode only engages when spills are rare.
+MAX_SPILL_FRACTION = 0.02
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TStreamDev:
+    """Device pytree for the 3-pass operator."""
+
+    p1: object  # DeviceProductTiles
+    b1: object  # DeviceLaneTiles over B' (real rows)
+    bv: object  # DeviceLaneTiles over B' virtual rows (split pieces), or None
+    fold: object  # DeviceLaneTiles for the virtual-row fold, or None
+    spill: object  # DeviceMixedTiles/DeviceLaneTiles on original x, or None
+
+    NB: int = dataclasses.field(metadata=dict(static=True))
+    NCg: int = dataclasses.field(metadata=dict(static=True))
+    NC: int = dataclasses.field(metadata=dict(static=True))
+    s_pad: int = dataclasses.field(metadata=dict(static=True))
+    n_rows_padded: int = dataclasses.field(metadata=dict(static=True))
+    fold_region: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    def stream_bytes(self) -> int:
+        total = self.p1.stream_bytes() + self.b1.stream_bytes()
+        # the product stream is written and re-read through HBM
+        total += 2 * self.p1.vals.size * 4
+        if self.bv is not None:
+            total += self.bv.stream_bytes()
+        if self.fold is not None:
+            total += self.fold.stream_bytes()
+        if self.spill is not None:
+            total += self.spill.stream_bytes()
+        return int(total)
+
+    @property
+    def fill(self) -> float:
+        return self.p1.fill
+
+    @property
+    def device_beta(self) -> float:
+        return self.p1.fill
+
+    @property
+    def df64(self) -> bool:
+        return False
+
+
+def build_tstream(
+    scs: ScsData, dtype=np.float32, device=None
+) -> TStreamDev:
+    """Build the 3-pass operator from a (column-permuted) SCS at C=1024.
+    Raises LaneTileBudgetError when the mode does not apply (x beyond the
+    VMEM budget, excessive spills, or B' windows beyond the group
+    budget)."""
+    if np.dtype(dtype) == np.float64:
+        raise LaneTileBudgetError("transpose-stream has no df64 variant")
+    if not lane_tiles_fit(scs.n_rows_padded, 1):
+        raise LaneTileBudgetError(
+            "transpose-stream requires the whole x in VMEM"
+        )
+    pt = pack_product_tiles(scs, dtype=dtype)
+    n_el = pt.nnz_packed + pt.spill_rows.size
+    if pt.spill_rows.size > MAX_SPILL_FRACTION * max(n_el, 1):
+        raise LaneTileBudgetError(
+            f"phase-1 spills {pt.spill_rows.size}/{n_el} elements; the "
+            "cell layout is not paying for itself (hub-dominated matrix)"
+        )
+    NC = pt.n_chunks
+    NPT = NC * pt.NB * pt.s_pad
+    p1 = build_device_product_tiles(pt, dtype=dtype, device=device)
+
+    # --- B': rows -> PT positions, round-robin split + aligned fold ---
+    # Pieces take STRIDED elements (j mod q) instead of consecutive column
+    # ranges: a consecutive piece's <= 8 positions are co-located in the
+    # slab, so every window sees the full slot multiplicity and bv fill
+    # collapsed to 0.035 (measured); strided pieces spread each virtual
+    # row's elements across the whole slab (~1 per window).
+    n_real = scs.n_rows_padded
+    ord2 = np.lexsort((pt.elem_pos, pt.elem_rows))
+    r_s = pt.elem_rows[ord2]
+    p_s = pt.elem_pos[ord2]
+    cnt = np.bincount(r_s, minlength=n_real).astype(np.int64)
+    if cnt.max(initial=0) > B_SPLIT_TH * 1023:
+        raise LaneTileBudgetError(
+            "a row exceeds the foldable piece budget (pre-split upstream)"
+        )
+    q = np.maximum((cnt + B_SPLIT_TH - 1) // B_SPLIT_TH, 1)
+    starts = np.concatenate(([0], np.cumsum(cnt)))
+    j_in_row = np.arange(r_s.size, dtype=np.int64) - starts[r_s]
+    bucket = j_in_row % q[r_s]
+    vcount = q - 1
+    vstart = np.concatenate(([0], np.cumsum(vcount)))
+    new_row = np.where(
+        bucket == 0, r_s, n_real + vstart[r_s] + bucket - 1
+    )
+    n_virtual = int(vcount.sum())
+    parent = np.repeat(
+        np.arange(n_real, dtype=np.int64), vcount
+    ) if n_virtual else None
+    m2 = MtxData.from_arrays(
+        new_row, p_s, np.ones(new_row.size),
+        n_rows=n_real + n_virtual, n_cols=NPT,
+    ).sort_by_row()
+    fold_idx = None
+    if parent is not None and n_virtual:
+        try:
+            m2, e_idx, s_idx, region, _virt, _par2 = align_split_rows(
+                m2, n_real, parent
+            )
+            fold_idx = (e_idx, s_idx, region)
+        except ValueError:
+            raise LaneTileBudgetError(
+                "B' split produced an unfoldable parent"
+            )
+    # the real and virtual halves run as SEPARATE kernels: real chunks
+    # read their own contiguous PT slab (tight windows, larger groups)
+    # while virtual chunks read their PARENTS' slabs, which spread ~2-4x
+    # wider — a combined matrix would blow the group-window budget at the
+    # real/virtual boundary (measured)
+    real_mask = m2.I < n_real
+    Bre = MtxData.from_arrays(
+        m2.I[real_mask], m2.J[real_mask], m2.values[real_mask],
+        n_rows=n_real, n_cols=NPT,
+    )
+    scs_b = convert_to_scs(Bre.astype(np.float32), CHUNK_ROWS, 1)
+    b1 = build_device_lane_tiles(
+        scs_b, dtype=np.float32, device=device, x_len=NPT,
+        chunks_per_group=B_CHUNKS_PER_GROUP, packer="colwalk",
+        window_rows=64,
+    )
+
+    bv_dev = None
+    fold_dev = None
+    region = 0
+    if fold_idx is not None:
+        from .operator import _build_fold_dev
+
+        region = fold_idx[2]
+        virt_mask = m2.I >= n_real
+        Bvi = MtxData.from_arrays(
+            m2.I[virt_mask] - n_real, m2.J[virt_mask],
+            m2.values[virt_mask], n_rows=region, n_cols=NPT,
+        )
+        scs_v = convert_to_scs(Bvi.astype(np.float32), CHUNK_ROWS, 1)
+        bv_dev = build_device_lane_tiles(
+            scs_v, dtype=np.float32, device=device, x_len=NPT,
+            chunks_per_group=B_VIRT_CHUNKS_PER_GROUP, packer="colwalk",
+            window_rows=64,
+        )
+        fold_dev = _build_fold_dev(fold_idx, n_real, device)
+        if fold_dev is None:
+            raise LaneTileBudgetError("B' fold matrix exceeded budgets")
+
+    spill_dev = None
+    if pt.spill_rows.size:
+        sm = MtxData.from_arrays(
+            pt.spill_rows, pt.spill_cols, pt.spill_vals,
+            n_rows=scs.n_rows_padded, n_cols=scs.n_rows_padded,
+        ).sort_by_row()
+        scs_s = convert_to_scs(sm.astype(dtype), CHUNK_ROWS, 1)
+        try:
+            spill_dev = build_device_mixed_tiles(
+                scs_s, dtype=dtype, device=device
+            )
+        except LaneTileBudgetError:
+            # sparse scattered spills can de-densify mixed tiles past the
+            # SMEM budget; the colwalk lane packer handles them at ~1
+            # element per tile-window without any budget risk
+            spill_dev = build_device_lane_tiles(
+                scs_s, dtype=dtype, device=device,
+                x_len=scs.n_rows_padded, packer="colwalk", window_rows=64,
+            )
+
+    return TStreamDev(
+        p1=p1,
+        b1=b1,
+        bv=bv_dev,
+        fold=fold_dev,
+        spill=spill_dev,
+        NB=pt.NB,
+        NCg=pt.NCg,
+        NC=NC,
+        s_pad=pt.s_pad,
+        n_rows_padded=scs.n_rows_padded,
+        fold_region=region,
+        nnz=n_el,
+    )
+
+
+def spmv_tstream(
+    dev: TStreamDev, x: jax.Array, interpret: Optional[bool] = None
+) -> jax.Array:
+    """y = A @ x through the 3 passes (+ spill term)."""
+    from .operator import block_prefix_sums
+
+    p = spmv_product_tiles(dev.p1, x, interpret=interpret)
+    s8 = dev.s_pad // 8
+    # [nt, 8, 128] where nt = NB*NCg*s8 (+ step padding, sliced off)
+    P = p[: dev.NB * dev.NCg * s8].reshape(
+        dev.NB, dev.NCg, s8, TILE_J, LANES
+    )
+    # cell (b, c=g2*128+j) element k=k1*8+a sits at P[b, g2, k1, a, j];
+    # PT wants [c, b, k] so chunk c's sources form one contiguous slab
+    PT = jnp.transpose(P, (1, 4, 0, 2, 3)).reshape(
+        dev.NCg * 128, dev.NB * dev.s_pad
+    )[: dev.NC].reshape(-1)
+    y = spmv_lane_tiles(dev.b1, PT, interpret=interpret)
+    n_real = dev.n_rows_padded
+    y = y[:n_real]
+    if dev.fold is not None:
+        partials = spmv_lane_tiles(
+            dev.bv, PT, interpret=interpret
+        )[: dev.fold_region]
+        cs = block_prefix_sums(partials, dev.fold_region)
+        y = y + spmv_lane_tiles(
+            dev.fold, cs, interpret=interpret
+        )[:n_real]
+    if dev.spill is not None:
+        if isinstance(dev.spill, DeviceMixedTiles):
+            ys = spmv_mixed_tiles(dev.spill, x, interpret=interpret)
+        else:
+            ys = spmv_lane_tiles(dev.spill, x, interpret=interpret)
+        y = y + ys[:n_real]
+    return y.astype(x.dtype)
