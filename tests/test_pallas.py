@@ -434,3 +434,33 @@ def test_dp_emulation_block_vectors_rowwise():
     with pytest.raises(ValueError, match="rowwise"):
         Config(value_type="dp", dp_emulation=True, block_vec_size=2,
                vector_layout="colwise").validate()
+
+
+def test_windowed_x_df64_kernel():
+    """dp emulation with x beyond the VMEM budget: the (hi, lo) planes
+    stream per-group HBM->VMEM windows (round-2 refused this case)."""
+    from uspmv_tpu.io.generators import laplace2d
+    from uspmv_tpu.ops.pallas_scs import (
+        build_device_lane_tiles, spmv_lane_tiles,
+    )
+
+    rng = np.random.default_rng(0)
+    mtx = laplace2d(64)
+    mtx.values[:] = mtx.values * np.exp(rng.standard_normal(mtx.nnz))
+    scs = small_scs(mtx)
+    dev = build_device_lane_tiles(
+        scs, dtype=np.float64, x_window=True, chunks_per_group=2
+    )
+    assert dev.df64 and dev.x_block_rows > 0 and dev.n_groups == 2
+    x = rng.standard_normal(mtx.n_rows)
+    xp = np.zeros(scs.n_rows_padded)
+    xp[scs.old_to_new_idx] = x
+    hi = xp.astype(np.float32)
+    lo = (xp - hi.astype(np.float64)).astype(np.float32)
+    pair = jnp.asarray(np.stack([hi, lo], axis=-1))
+    y = np.asarray(spmv_lane_tiles(dev, pair, interpret=True))
+    y = (y[..., 0].astype(np.float64) + y[..., 1].astype(np.float64))
+    y = y[scs.old_to_new_idx]
+    ref = mtx.to_scipy().tocsr() @ x
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 5e-5, rel  # interpret guts EFTs; on-chip check is 1e-14

@@ -209,10 +209,9 @@ def build_device_lane_tiles(
         x_window = not lane_tiles_fit(
             x_rows * LANES, block_vec_size * (2 if df64 else 1)
         )
-    if x_window and df64:
+    if x_window and df64 and block_vec_size > 1:
         raise LaneTileBudgetError(
-            "dp emulation (df64) has no windowed-x kernel; x exceeds the "
-            "VMEM budget — run dp on the CPU path instead"
+            "windowed-x dp emulation supports bs=1 only"
         )
     if x_window:
         # window DMA bases are sublane-aligned and blocks are 8-row
@@ -250,7 +249,8 @@ def build_device_lane_tiles(
             x_block_rows = min(int(x_block_rows_force), x_rows)
         base = np.minimum(base, max(x_rows - x_block_rows, 0)) & ~7
         if (
-            x_block_rows * LANES * 4 * max(block_vec_size, 1) * 2
+            x_block_rows * LANES * 4 * max(block_vec_size, 1)
+            * (4 if df64 else 2)  # df64 windows carry (hi, lo) planes
             > X_VMEM_BUDGET_BYTES
         ):
             raise LaneTileBudgetError(
@@ -1025,6 +1025,98 @@ def _kernel_windowed(
             out_ref[bi, cl] = out_ref[bi, cl] + v * gth.astype(acc_dtype)
 
 
+def _kernel_df64_windowed(
+    # scalar-prefetch refs (SMEM)
+    meta_ref,
+    sg_ref,
+    sf_ref,
+    gxb_ref,  # [n_groups] int32 x-window base row per group
+    # blocked inputs
+    vals_ref,  # (2*tps, 8, 128) hi/lo tile pairs
+    src_ref,
+    x_ref,  # (2, x_rows, 128) in ANY (HBM); both planes DMA'd per group
+    out_ref,  # (2, G, 8, 128)
+    # scratch
+    xwin_ref,  # (2, 2, XB, 128): [buffer slot, hi/lo plane, rows, lanes]
+    sems,
+    *,
+    tps,
+    XB,
+    n_groups,
+    wr,
+):
+    """Double-float SpMV with per-group HBM->VMEM x windows — the same
+    double-buffered DMA scheme as _kernel_windowed, shipping BOTH (hi,
+    lo) planes per copy. Closes the round-2 gap where dp emulation
+    refused matrices whose paired x exceeded the VMEM budget."""
+    step = pl.program_id(0)
+    g = sg_ref[step]
+    I32_0 = np.int32(0)
+    I32_1 = np.int32(1)
+
+    def copy(slot, grp):
+        return pltpu.make_async_copy(
+            x_ref.at[:, pl.ds(gxb_ref[grp], XB), :],
+            xwin_ref.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(sf_ref[step] == 1)
+    def _():
+        par = jnp.bitwise_and(g, I32_1)
+
+        @pl.when(g == 0)
+        def _():
+            copy(I32_0, I32_0).start()
+
+        @pl.when(par == 0)
+        def _():
+            copy(I32_0, g).wait()
+
+        @pl.when(par == 1)
+        def _():
+            copy(I32_1, g).wait()
+
+        @pl.when(g + I32_1 < n_groups)
+        def _():
+            nxt = jnp.bitwise_and(g + I32_1, I32_1)
+
+            @pl.when(nxt == 0)
+            def _():
+                copy(I32_0, g + I32_1).start()
+
+            @pl.when(nxt == 1)
+            def _():
+                copy(I32_1, g + I32_1).start()
+
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    slot = jnp.bitwise_and(g, I32_1)
+    base = step * tps
+    for k in range(tps):
+        m = meta_ref[base + k]
+        w = m >> CL_BITS
+        cl = jnp.bitwise_and(m, (1 << CL_BITS) - 1)
+        half = (k % 2) * TILE_J
+        packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
+        lane_tab = jnp.bitwise_and(packed, LANES - 1)
+        sub_tab = jnp.right_shift(packed, 7)
+        vh = vals_ref[2 * k]
+        vl = vals_ref[2 * k + 1]
+        gh = _gather_window(
+            xwin_ref[slot, I32_0, pl.ds(w, wr), :], sub_tab, lane_tab, wr
+        )
+        gl = _gather_window(
+            xwin_ref[slot, I32_1, pl.ds(w, wr), :], sub_tab, lane_tab, wr
+        )
+        ph, pe = _two_prod(vh, gh)
+        plo = pe + vh * gl + vl * gh
+        sh = out_ref[I32_0, cl]
+        th, te = _two_sum(sh, ph)
+        out_ref[I32_0, cl] = th
+        out_ref[I32_1, cl] = out_ref[I32_1, cl] + (te + plo)
+
+
 def _spmv_lane_tiles_df64(dev, x, interpret):
     """Double-float SpMV: x is an [n, 2] f32 (hi, lo) pair — or
     [n, bs, 2] for a rowwise block vector — returns the matching
@@ -1051,6 +1143,47 @@ def _spmv_lane_tiles_df64(dev, x, interpret):
     G = dev.chunks_per_group
     assert nt % tps == 0
     ns = nt // tps
+    windowed = dev.x_block_rows > 0
+    if windowed:
+        assert bs == 1, "windowed df64 supports bs=1 only"
+        XB = dev.x_block_rows
+        vals_spec = pl.BlockSpec(
+            (2 * tps, TILE_J, LANES), lambda s, m, g, f, xb: (s, Z, Z),
+            memory_space=pltpu.VMEM,
+        )
+        src_spec = pl.BlockSpec(
+            (tps // 2, 2 * TILE_J, LANES),
+            lambda s, m, g, f, xb: (s, Z, Z),
+            memory_space=pltpu.VMEM,
+        )
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
+        out_spec = pl.BlockSpec(
+            (2, G, TILE_J, LANES), lambda s, m, g, f, xb: (Z, g[s], Z, Z),
+            memory_space=pltpu.VMEM,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(ns,),
+            in_specs=[vals_spec, src_spec, x_spec],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, XB, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        y = pl.pallas_call(
+            functools.partial(
+                _kernel_df64_windowed, tps=tps, XB=XB,
+                n_groups=dev.n_groups, wr=dev.window_rows,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (2, dev.n_groups * G, TILE_J, LANES), jnp.float32
+            ),
+            interpret=interpret,
+        )(dev.meta, dev.step_group, dev.step_first, dev.group_xbase,
+          dev.vals, dev.src16, x4d[:, 0])
+        return y.reshape(2, -1)[:, :n_pad].T
     vals_spec = pl.BlockSpec(
         (2 * tps, TILE_J, LANES), lambda s, m, g, f: (s, Z, Z),
         memory_space=pltpu.VMEM,
