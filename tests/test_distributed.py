@@ -503,3 +503,25 @@ def test_distributed_dp_emulation_8_shards():
     y = op.to_host(op.spmv(op.make_x(x)))
     ref = mtx.to_scipy().tocsr() @ x
     assert np.abs(y - ref).max() / np.abs(ref).max() < 5e-5
+
+
+def test_distributed_mixed_tiles_zero_locality():
+    """Sharded zero-column-locality matrices pack mixed tiles per shard
+    and stack them under shard_map (round 2 dropped this whole class to
+    the XLA path when sharded)."""
+    from uspmv_tpu.io.generators import random_imbalanced as _ri
+
+    mtx = _ri(30_000, 8, seed=1)
+    A = mtx.to_scipy().astype(np.float64)
+    x = np.random.default_rng(2).standard_normal(mtx.n_rows)
+    for overlap in (True, False):
+        cfg = Config(
+            kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
+            backend="cpu", n_shards=4, seg_method="seg-nnz",
+            mixed_tiles=True, overlap_comm=overlap,
+        )
+        op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+        assert op.impl_name() == "pallas-mixed-tiles"
+        y = op.to_host(op.spmv(op.make_x(x)))
+        err = np.abs(y - A @ x).max() / np.abs(A @ x).max()
+        assert err < 1e-5, (overlap, err)

@@ -525,6 +525,68 @@ def build_device_mixed_tiles(
     )
 
 
+def stack_device_mixed_tiles(devs: list) -> DeviceMixedTiles:
+    """Stack per-shard DeviceMixedTiles on a leading 'rows' axis for
+    shard_map execution (same no-op-step padding scheme as
+    stack_device_lane_tiles; zero meta/vals tiles are += 0 into band 0)."""
+    tps = devs[0].tiles_per_step
+    G = devs[0].chunks_per_group
+    WR = max(d.window_rows for d in devs)
+    m = devs[0].m_mixed
+    assert all(
+        d.tiles_per_step == tps and d.chunks_per_group == G
+        and d.m_mixed == m for d in devs
+    )
+    x_rows_total = max(
+        d.x_rows_total + (WR - d.window_rows) for d in devs
+    )
+    NG = max(d.n_groups for d in devs)
+    NS = max(d.n_tiles // tps + (NG - d.n_groups) for d in devs)
+    NT = NS * tps
+    vp = devs[0].vals.shape[1] == 2 * TILE_J
+
+    def pad_to(a, n, fill=0):
+        a = np.asarray(a)
+        if a.shape[0] == n:
+            return a
+        width = [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, width, constant_values=fill)
+
+    vals, src, meta, sg, sf = [], [], [], [], []
+    for d in devs:
+        nv = NT // 2 if vp else NT
+        vals.append(pad_to(d.vals, nv))
+        src.append(pad_to(d.src16, NT // 2))
+        meta.append(pad_to(d.meta, NT))
+        g = list(np.asarray(d.step_group))
+        f = list(np.asarray(d.step_first))
+        for q in range(d.n_groups, NG):
+            g.append(q)
+            f.append(1)
+        while len(g) < NS:
+            g.append(g[-1] if g else 0)
+            f.append(0)
+        sg.append(np.asarray(g, dtype=np.int32))
+        sf.append(np.asarray(f, dtype=np.int32))
+    return DeviceMixedTiles(
+        vals=jnp.asarray(np.stack(vals)),
+        src16=jnp.asarray(np.stack(src)),
+        meta=jnp.asarray(np.stack(meta)),
+        step_group=jnp.asarray(np.stack(sg)),
+        step_first=jnp.asarray(np.stack(sf)),
+        tiles_per_step=tps,
+        chunks_per_group=G,
+        n_groups=NG,
+        n_chunks=max(d.n_chunks for d in devs),
+        n_rows_padded=max(d.n_rows_padded for d in devs),
+        nnz=sum(d.nnz for d in devs),
+        fill=float(np.mean([d.fill for d in devs])),
+        window_rows=WR,
+        m_mixed=m,
+        x_rows_total=x_rows_total,
+    )
+
+
 def _gather_window(window, sub_tab, lane_tab, wr, acc_dtype=None):
     """Two-step gather from an (wr, 128) window value.
 

@@ -348,6 +348,16 @@ class DistributedSpmvOperator:
             // CHUNK_ROWS
             <= MAX_META_TILES
         )
+        # zero-column-locality shards pack MIXED tiles per shard and stack
+        # them (round 2 dropped this whole class to the XLA path when
+        # sharded); requires every shard's halo-extended x in VMEM
+        from ..runtime.operator import MIXED_EST_CUTOFF, _window_fill_estimate
+
+        mixed_dist = lane and not config.dp_emulation and (
+            config.mixed_tiles
+            if config.mixed_tiles is not None
+            else _window_fill_estimate(mtx) < MIXED_EST_CUTOFF
+        )
         if lane:
             from ..ops.packer import (
                 auto_tiles_per_step,
@@ -413,6 +423,20 @@ class DistributedSpmvOperator:
                             devs_l = mk(wr, xb_force=xb)
                     return stack_device_lane_tiles(devs_l)
 
+                if mixed_dist:
+                    from ..ops.pallas_scs import (
+                        build_device_mixed_tiles,
+                        stack_device_mixed_tiles,
+                    )
+
+                    return stack_device_mixed_tiles([
+                        build_device_mixed_tiles(
+                            s, dtype=dtype_for(p), tiles_per_step=tps,
+                            chunks_per_group=cpg, x_len=x_len,
+                            window_rows=64, block_vec_size=eff,
+                        )
+                        for s in structs
+                    ])
                 return pack_with_window_retry(one)
         def _build_all(use_lane):
             devs: Dict[str, DeviceScs] = {}
@@ -868,8 +892,10 @@ class DistributedSpmvOperator:
         return out
 
     def impl_name(self) -> str:
-        from ..ops.pallas_scs import DeviceLaneTiles
+        from ..ops.pallas_scs import DeviceLaneTiles, DeviceMixedTiles
 
+        if any(isinstance(d, DeviceMixedTiles) for d in self.devs.values()):
+            return "pallas-mixed-tiles"
         if any(isinstance(d, DeviceLaneTiles) for d in self.devs.values()):
             return ("pallas-lane-tiles-df64" if self._is_df64()
                     else "pallas-lane-tiles")
