@@ -126,6 +126,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(cuSPARSE-comparison analogue)",
     )
     p.add_argument(
+        "-mixed_tiles", choices=["auto", "0", "1"], default="auto",
+        help="zero-column-locality modes (mixed tiles / transpose-"
+        "stream): auto = engage when the window-fill estimate is "
+        "hopeless; 1/0 force on/off",
+    )
+    p.add_argument(
         "-no_retile", action="store_true",
         help="disable the re-tiling engine: execute the literal (C, sigma) "
         "layout instead of re-packing into physical 1024-row lane-tile "
@@ -196,6 +202,8 @@ def config_from_args(args) -> Config:
         use_pallas=(args.impl == "auto"),
         impl=args.impl,
         retile=not args.no_retile,
+        mixed_tiles=(None if args.mixed_tiles == "auto"
+                     else args.mixed_tiles == "1"),
         output_dir=args.output_dir,
         matrix_file_name=args.matrix,
         seed=args.seed,
@@ -358,6 +366,7 @@ def main(argv=None) -> int:
             mtx_oracle, x0, np.asarray(y_host, dtype=np.float64),
             cfg.n_repetitions, value_type=cfg.value_type,
             hp_nnz_fraction=hp_frac,
+            l2_mode=(op.impl_name() == "pallas-tstream"),
         )
         if primary:
             write_result_to_file(cfg, rep, cfg.n_repetitions)
