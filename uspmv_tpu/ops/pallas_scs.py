@@ -182,6 +182,17 @@ def build_device_lane_tiles(
         lt = pack(window_rows)
     else:
         lt = pack_with_window_retry(pack)
+    if packer != "colwalk" and lt.fill < 0.95:
+        # the column-sorted walk packs some classes tighter than the
+        # plane-binned two-pointer (banded-imbalanced: 0.586 vs 0.553 at
+        # wr=16); try it at the chosen width and keep the better pack
+        alt = pack_lane_tiles_colwalk(
+            scs, dtype=dtype, tiles_per_step=tiles_per_step,
+            chunks_per_group=chunks_per_group, x_len=x_len,
+            window_rows=lt.window_rows,
+        )
+        if alt.fill > lt.fill * 1.02:
+            lt = alt
     tps = lt.tiles_per_step
     G = lt.chunks_per_group
     if lt.n_tiles > MAX_META_TILES:
