@@ -50,8 +50,14 @@ from ..ops.pallas_scs import (
 )
 
 B_SPLIT_TH = 8  # B' heavy-row split threshold (slot-multiplicity bound)
-B_CHUNKS_PER_GROUP = 16  # real part: per-group PT window = 16 slabs
-B_VIRT_CHUNKS_PER_GROUP = 4  # virtual part: parent slabs spread wider
+# Group sizes tuned for the windowed-x DMA pipeline: at ~1 grid step per
+# group every step stalls on its window copy (measured: phase 3 ran at
+# 47-57 ns/tile, 75% of the whole iteration). Fewer/larger groups plus
+# tps=64 give ~5-15 steps per group so the next window prefetches behind
+# real work.
+B_CHUNKS_PER_GROUP = 32  # real part: per-group PT window = 32 slabs
+B_VIRT_CHUNKS_PER_GROUP = 8  # virtual part: parent slabs spread wider
+B_TILES_PER_STEP = 64
 # Hub-dominated matrices overflow the capped cells and spill a few
 # percent of their elements; the spill term then costs more than the
 # 3-pass saves over the masked mixed mode (measured: PowerLawCols 3.5 vs
@@ -184,7 +190,7 @@ def build_tstream(
     b1 = build_device_lane_tiles(
         scs_b, dtype=np.float32, device=device, x_len=NPT,
         chunks_per_group=B_CHUNKS_PER_GROUP, packer="colwalk",
-        window_rows=64,
+        window_rows=64, tiles_per_step=B_TILES_PER_STEP,
     )
 
     bv_dev = None
@@ -200,11 +206,21 @@ def build_tstream(
             m2.values[virt_mask], n_rows=region, n_cols=NPT,
         )
         scs_v = convert_to_scs(Bvi.astype(np.float32), CHUNK_ROWS, 1)
-        bv_dev = build_device_lane_tiles(
-            scs_v, dtype=np.float32, device=device, x_len=NPT,
-            chunks_per_group=B_VIRT_CHUNKS_PER_GROUP, packer="colwalk",
-            window_rows=64,
-        )
+        try:
+            bv_dev = build_device_lane_tiles(
+                scs_v, dtype=np.float32, device=device, x_len=NPT,
+                chunks_per_group=B_VIRT_CHUNKS_PER_GROUP,
+                packer="colwalk", window_rows=64,
+                tiles_per_step=B_TILES_PER_STEP,
+            )
+        except LaneTileBudgetError:
+            # parent slabs spread too wide for the large group: halve it
+            bv_dev = build_device_lane_tiles(
+                scs_v, dtype=np.float32, device=device, x_len=NPT,
+                chunks_per_group=B_VIRT_CHUNKS_PER_GROUP // 2,
+                packer="colwalk", window_rows=64,
+                tiles_per_step=B_TILES_PER_STEP,
+            )
         fold_dev = _build_fold_dev(fold_idx, n_real, device)
         if fold_dev is None:
             raise LaneTileBudgetError("B' fold matrix exceeded budgets")
