@@ -17,6 +17,7 @@ faster than a perfect 80%-roofline classical SpMV.
 """
 
 import json
+import os
 import sys
 
 HBM_ROOFLINE_GBPS = {
@@ -71,7 +72,19 @@ def main() -> int:
     baseline_gflops = 2.0 * op.nnz / t_ref / 1e9
 
     # secondary metrics on SuiteSparse-structure + gather-hostile matrices
-    # (VERDICT r1 items 2/4); reported inside the same JSON line
+    # (VERDICT r1 items 2/4); reported inside the same JSON line.
+    # SOFT DEADLINE: the axon tunnel sometimes stalls for minutes per
+    # compile; rather than losing the whole JSON line to a driver
+    # timeout, remaining extras are skipped once the budget is spent
+    # (the headline above always reports).
+    import time as _time
+
+    _t0 = _time.monotonic()
+    _budget_s = float(os.environ.get("USPMV_BENCH_BUDGET_S", 1500))
+
+    def _over_budget() -> bool:
+        return _time.monotonic() - _t0 > _budget_s
+
     extras = {}
     from uspmv_tpu.io.generators import banded_imbalanced, fem_tet3d
 
@@ -91,6 +104,9 @@ def main() -> int:
         ("random_imbalanced_500k",
          lambda: random_imbalanced(500_000, 8)),
     ):
+        if _over_budget():
+            extras[name + "_gflops"] = "skipped (bench budget)"
+            continue
         m2 = make()
         op2 = SpmvOperator.from_mtx(Config(
             kernel_format="scs", chunk_size=1024, sigma=1,
@@ -104,25 +120,27 @@ def main() -> int:
     # ap[sp_hp] on the headline matrix, and ap[dp_sp] (dp partition through
     # the honest double-float kernel, -dp_emu) on the 96^3 size whose
     # paired x fits VMEM
-    op_ap = SpmvOperator.from_mtx(Config(
-        kernel_format="scs", chunk_size=1024, sigma=1,
-        value_type="ap[sp_hp]", ap_threshold_1=2.44,  # sqrt(1*6): diag->sp
-        bench_time=1.5, use_pallas=True,
-    ), mtx)
-    extras["ap_sp_hp_gflops"] = round(
-        bench_spmv(op_ap, warmup=20, start_iters=64).perf_gflops, 2
-    )
-    from uspmv_tpu.io.generators import laplace3d as _l3d
+    if not _over_budget():
+        op_ap = SpmvOperator.from_mtx(Config(
+            kernel_format="scs", chunk_size=1024, sigma=1,
+            value_type="ap[sp_hp]", ap_threshold_1=2.44,  # sqrt(1*6)
+            bench_time=1.5, use_pallas=True,
+        ), mtx)
+        extras["ap_sp_hp_gflops"] = round(
+            bench_spmv(op_ap, warmup=20, start_iters=64).perf_gflops, 2
+        )
+    if not _over_budget():
+        from uspmv_tpu.io.generators import laplace3d as _l3d
 
-    m96 = _l3d(96)
-    op_dpsp = SpmvOperator.from_mtx(Config(
-        kernel_format="scs", chunk_size=1024, sigma=1,
-        value_type="ap[dp_sp]", ap_threshold_1=2.44, dp_emulation=True,
-        bench_time=1.5, use_pallas=True,
-    ), m96)
-    extras["ap_dp_sp_96_gflops"] = round(
-        bench_spmv(op_dpsp, warmup=20, start_iters=64).perf_gflops, 2
-    )
+        m96 = _l3d(96)
+        op_dpsp = SpmvOperator.from_mtx(Config(
+            kernel_format="scs", chunk_size=1024, sigma=1,
+            value_type="ap[dp_sp]", ap_threshold_1=2.44,
+            dp_emulation=True, bench_time=1.5, use_pallas=True,
+        ), m96)
+        extras["ap_dp_sp_96_gflops"] = round(
+            bench_spmv(op_dpsp, warmup=20, start_iters=64).perf_gflops, 2
+        )
 
     print(
         json.dumps(
