@@ -384,10 +384,32 @@ def convert_to_scs_retiled(
         lperm = np.asarray(fixed_logical_perm, dtype=np.int32)
         lpad = lperm.shape[0]
         fixed: Optional[np.ndarray] = lperm
+        lelems = logical_elements(counts, lperm, C_log)
     else:
         lperm, lpad = sigma_window_perm(counts, mtx.n_rows, C_log, sigma_log)
         fixed = None if sigma_log == 1 else lperm
-    lelems = logical_elements(counts, lperm, C_log)
+        lelems = logical_elements(counts, lperm, C_log)
+        if fixed is not None:
+            # The execution row order is free (y is un-permuted through
+            # old_to_new either way; beta above stays the LOGICAL
+            # format's). The sigma sort only helps when it tightens the
+            # PHYSICAL C_phys-chunk padding; on structured matrices it
+            # instead scrambles the diagonal the gather windows ride
+            # (measured ~11% on Laplace3D at sigma=512). Keep whichever
+            # order needs fewer physical tiles.
+            phys_pad = -(-mtx.n_rows // C_phys) * C_phys
+            cid = np.zeros(phys_pad, dtype=np.int64)
+            cid[: mtx.n_rows] = counts
+            tiles_id = int(cid.reshape(-1, C_phys).max(axis=1).sum())
+            both_pad = -(-lpad // C_phys) * C_phys
+            csig = np.zeros(both_pad, dtype=np.int64)
+            csig[lperm[: mtx.n_rows]] = counts
+            tiles_sig = int(csig.reshape(-1, C_phys).max(axis=1).sum())
+            if tiles_id <= tiles_sig:
+                fixed = None
+                # secondaries (AP) must share the EXECUTION order
+                lperm = np.arange(phys_pad, dtype=np.int32)
+                lpad = phys_pad
     m = mtx if dtype is None else mtx.astype(dtype)
     if fixed is not None and lpad > m.n_rows:
         # rows can land beyond ceil(n_rows/C_phys)*C_phys when the logical

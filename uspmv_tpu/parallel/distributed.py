@@ -208,7 +208,9 @@ class DistributedSpmvOperator:
 
         # re-tiling engine (see runtime/operator.py): each shard's logical
         # (C, sigma) packs into physical 1024-row lane-tile chunks
-        retiled = use_lane_tiles(config) and C_log != CHUNK_ROWS
+        retiled = use_lane_tiles(config) and (
+            C_log != CHUNK_ROWS or sigma_log != 1
+        )
         C = CHUNK_ROWS if retiled else C_log
         sigma = sigma_log
 

@@ -457,8 +457,13 @@ class SpmvOperator:
         sigma_log = config.sigma if config.kernel_format == "scs" else 1
         # re-tiling engine: the user's (C, sigma) stays the LOGICAL format
         # (row order + reported beta); execution packs physical 1024-row
-        # chunks (convert_to_scs_retiled)
-        retiled = use_lane_tiles(config) and C_log != CHUNK_ROWS
+        # chunks in whichever row order packs tighter
+        # (convert_to_scs_retiled). sigma > 1 at C=1024 routes through it
+        # too, so a sigma sort that only scrambles the gather windows is
+        # not executed.
+        retiled = use_lane_tiles(config) and (
+            C_log != CHUNK_ROWS or sigma_log != 1
+        )
         C = CHUNK_ROWS if retiled else C_log
         sigma = sigma_log
 
