@@ -130,6 +130,13 @@ class DeviceLaneTiles:
     # double-float dp emulation: vals is [2*nt, 8, 128] f32 hi/lo tile
     # pairs, x/y travel as [n, 2] f32 pairs (see _kernel_df64)
     df64: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # all-ones matrices (the transpose-stream B' row maps) drop the value
+    # stream entirely: slot validity rides bit 15 of src16 (negative =
+    # padding), the kernel selects gathered-or-zero — 2 bytes/slot instead
+    # of 6. vals is a (2, 8, 128) zero placeholder.
+    unit_vals: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def n_tiles(self) -> int:
@@ -156,6 +163,7 @@ def build_device_lane_tiles(
     window_rows=None,  # None = auto (retry wide when narrow fill is poor)
     x_block_rows_force=None,  # common window height across stacked shards
     packer="two-pointer",  # "colwalk" = column-sorted sliding greedy
+    unit_values=False,  # all-ones matrix: drop the value stream (B' maps)
 ) -> DeviceLaneTiles:
     from .packer import pack_lane_tiles_colwalk, pack_with_window_retry
 
@@ -278,11 +286,26 @@ def build_device_lane_tiles(
     # native (16, 128) i16 tile; 2-byte value dtypes (hp = bfloat16) pair
     # the same way so the value stream is 2 bytes/element too
     assert lt.n_tiles % 2 == 0
-    src16 = lt.src_tab.astype(np.int16).reshape(
-        lt.n_tiles // 2, 2 * TILE_J, LANES
-    )
+    if unit_values:
+        if df64 or np.dtype(dtype).itemsize != 4:
+            raise ValueError("unit_values requires plain f32 tiles")
+        valid = lt.vals != 0
+        if not np.all(lt.vals[valid] == 1):
+            raise ValueError("unit_values requires an all-ones matrix")
+        src_i = lt.src_tab.astype(np.int32) | (
+            (~valid).astype(np.int32) << 15
+        )
+        src16 = (
+            (src_i & 0xFFFF).astype(np.uint16).view(np.int16)
+        ).reshape(lt.n_tiles // 2, 2 * TILE_J, LANES)
+    else:
+        src16 = lt.src_tab.astype(np.int16).reshape(
+            lt.n_tiles // 2, 2 * TILE_J, LANES
+        )
     vals = lt.vals
-    if df64:
+    if unit_values:
+        vals = np.zeros((2, TILE_J, LANES), dtype=np.float32)
+    elif df64:
         # split each f64 tile into an exact (hi, lo) f32 pair, interleaved
         # as consecutive tiles (tile 2k = hi, 2k+1 = lo)
         hi = vals.astype(np.float32)
@@ -315,6 +338,7 @@ def build_device_lane_tiles(
         x_rows_total=int(x_rows),
         window_rows=lt.window_rows,
         df64=df64,
+        unit_vals=unit_values,
     )
 
 
@@ -332,7 +356,7 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
     WR = max(d.window_rows for d in devs)
     df64 = devs[0].df64
     assert all(d.tiles_per_step == tps and d.chunks_per_group == G
-               and d.df64 == df64 for d in devs)
+               and d.df64 == df64 and not d.unit_vals for d in devs)
     # a narrow-packed shard running under a wide stacked kernel reads
     # window_rows further into x; extend the padded extent accordingly
     x_rows_total = max(
@@ -720,6 +744,7 @@ def _kernel(
     tps,
     bs,
     wr,
+    unit=False,
 ):
     del sg_ref
     step = pl.program_id(0)
@@ -741,6 +766,16 @@ def _kernel(
         half = (k % 2) * TILE_J
         packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
         lane_tab = jnp.bitwise_and(packed, LANES - 1)
+        if unit:
+            # all-ones matrix: no value stream; bit 15 (int16 sign) marks
+            # padding slots, the select replaces the v*g multiply
+            sub_tab = jnp.bitwise_and(jnp.right_shift(packed, 7), 63)
+            for b in range(bs):
+                window = x_ref[b, pl.ds(w, wr), :]
+                g = _gather_window(window, sub_tab, lane_tab, wr)
+                g = jnp.where(packed >= 0, g, jnp.zeros_like(g))
+                out_ref[b, cl] = out_ref[b, cl] + g.astype(acc_dtype)
+            continue
         sub_tab = jnp.right_shift(packed, 7)
         if vals_paired:  # 2-byte dtypes ride (16,128) tiles like src16
             v = vals_ref[k // 2, pl.ds(half, TILE_J), :].astype(acc_dtype)
@@ -873,6 +908,171 @@ def spmv_product_tiles(
         functools.partial(_kernel_products, tps=tps, wr=dev.window_rows),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nt, TILE_J, LANES), jnp.float32),
+        interpret=interpret,
+    )(dev.meta, dev.vals, dev.src16, x2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceProductTilesT:
+    """Transposed-write variant of DeviceProductTiles: the kernel
+    accumulates each (column block b, cell group g2) block as a
+    (s_pad, 128) stack of its s8 product tiles, transposes it in VMEM
+    with the crossbar, and writes it STRAIGHT to its PT slab position —
+    the separate XLA transpose pass of the 3-pass mode (an extra
+    HBM read+write of the whole padded grid) disappears. Requires
+    NB * s_pad % 128 == 0 (the caller pads NB) so the flat PT view is a
+    free reshape for phase 3."""
+
+    vals: jax.Array  # [nt, 8, 128], nt = NB * NCg_pad * s8
+    src16: jax.Array  # [nt/2, 16, 128] int16 (sub<<7)|lane
+    meta: jax.Array  # [nt] int32: window start row
+
+    m_blocks: int = dataclasses.field(metadata=dict(static=True))
+    s8: int = dataclasses.field(metadata=dict(static=True))
+    NB: int = dataclasses.field(metadata=dict(static=True))
+    NCg_pad: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    fill: float = dataclasses.field(metadata=dict(static=True))
+    window_rows: int = dataclasses.field(metadata=dict(static=True))
+    x_rows_total: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def s_pad(self) -> int:
+        return 8 * self.s8
+
+    def stream_bytes(self) -> int:
+        return int(self.vals.nbytes + self.src16.nbytes)
+
+
+def build_device_product_tiles_t(pt, dtype=np.float32, device=None):
+    """pt: a ProductTiles whose NB satisfies NB * s_pad % 128 == 0."""
+    s8 = pt.s_pad // 8
+    if (pt.NB * pt.s_pad) % LANES:
+        raise ValueError("transposed product tiles need NB*s_pad % 128 == 0")
+    # cell blocks per grid step: ~64 tiles/step amortizes the SMEM meta
+    # reads; keep the tile pairing of the src16 stream intact (tps even)
+    m = max(1, 64 // s8)
+    if (m * s8) % 2:
+        m *= 2
+    NCg_p = ((pt.NCg + m - 1) // m) * m
+    v5 = pt.vals.astype(dtype).reshape(pt.NB, pt.NCg, s8, TILE_J, LANES)
+    s5 = pt.src_tab.reshape(pt.NB, pt.NCg, s8, TILE_J, LANES)
+    w2 = pt.w_row.reshape(pt.NB, pt.NCg, s8)
+    if NCg_p != pt.NCg:
+        pad = ((0, 0), (0, NCg_p - pt.NCg), (0, 0))
+        v5 = np.pad(v5, pad + ((0, 0), (0, 0)))
+        s5 = np.pad(s5, pad + ((0, 0), (0, 0)))
+        w2 = np.pad(w2, pad, mode="edge")  # keep windows in range
+    nt = pt.NB * NCg_p * s8
+    vals = v5.reshape(nt, TILE_J, LANES)
+    src16 = (
+        s5.reshape(nt, TILE_J, LANES)
+        .astype(np.uint16)
+        .view(np.int16)
+        .reshape(nt // 2, 2 * TILE_J, LANES)
+    )
+    w = w2.reshape(nt).astype(np.int32)
+    put = lambda a: jax.device_put(a, device) if device else jnp.asarray(a)
+    x_rows = int(w.max(initial=0)) + pt.window_rows
+    return DeviceProductTilesT(
+        vals=put(vals),
+        src16=put(src16),
+        meta=put(w),
+        m_blocks=m,
+        s8=s8,
+        NB=pt.NB,
+        NCg_pad=NCg_p,
+        nnz=pt.nnz_packed,
+        fill=pt.fill,
+        window_rows=pt.window_rows,
+        x_rows_total=x_rows,
+    )
+
+
+def _kernel_products_t(
+    meta_ref,  # [nt] int32 window start row
+    vals_ref,  # (tps, 8, 128)
+    src_ref,  # (tps/2, 16, 128)
+    x_ref,  # (x_rows, 128) whole x in VMEM
+    out_ref,  # (m*128, s_pad) — this step's transposed PT blocks
+    *,
+    m,
+    s8,
+    wr,
+):
+    step = pl.program_id(0)
+    tps = m * s8
+    base = step * tps
+    for cb in range(m):
+        parts = []
+        for k1 in range(s8):
+            k = cb * s8 + k1
+            w = meta_ref[base + k]
+            half = (k % 2) * TILE_J
+            packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(
+                jnp.int32
+            )
+            lane_tab = jnp.bitwise_and(packed, LANES - 1)
+            sub_tab = jnp.bitwise_and(jnp.right_shift(packed, 7), 63)
+            v = vals_ref[k]
+            window = x_ref[pl.ds(w, wr), :]
+            g = _gather_window(window, sub_tab, lane_tab, wr)
+            parts.append(v * g)
+        blk = jnp.concatenate(parts, axis=0) if s8 > 1 else parts[0]
+        out_ref[pl.ds(cb * 128, 128), :] = blk.T
+
+
+def spmv_product_tiles_t(
+    dev: DeviceProductTilesT, x: jax.Array,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Phase 1+2 fused: returns PT as [NCg_pad*128, NB*s_pad] f32 whose
+    free flat view is the phase-3 x vector (rows past NC are zero)."""
+    if interpret is None:
+        interpret = not pallas_supported()
+    x_rows = max((x.shape[0] + LANES - 1) // LANES, dev.x_rows_total)
+    x2 = x.astype(jnp.float32)
+    if x2.shape[0] < x_rows * LANES:
+        x2 = jnp.pad(x2, (0, x_rows * LANES - x2.shape[0]))
+    x2 = x2.reshape(x_rows, LANES)
+    Z = np.int32(0)
+    m = dev.m_blocks
+    s8 = dev.s8
+    tps = m * s8
+    gpb = dev.NCg_pad // m  # steps (row blocks) per column block
+    ns = dev.NB * gpb
+    s_pad = dev.s_pad
+    vals_spec = pl.BlockSpec(
+        (tps, TILE_J, LANES), lambda s, m_: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    src_spec = pl.BlockSpec(
+        (tps // 2, 2 * TILE_J, LANES), lambda s, m_: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    x_spec = pl.BlockSpec(
+        x2.shape, lambda s, m_: (Z, Z), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (m * LANES, s_pad),
+        lambda s, m_: (s % gpb, s // gpb),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ns,),
+        in_specs=[vals_spec, src_spec, x_spec],
+        out_specs=out_spec,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_products_t, m=m, s8=s8, wr=dev.window_rows
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (dev.NCg_pad * LANES, dev.NB * s_pad), jnp.float32
+        ),
         interpret=interpret,
     )(dev.meta, dev.vals, dev.src16, x2)
 
@@ -1028,6 +1228,7 @@ def _kernel_windowed(
     XB,
     n_groups,
     wr,
+    unit=False,
 ):
     step = pl.program_id(0)
     g = sg_ref[step]
@@ -1086,6 +1287,15 @@ def _kernel_windowed(
         half = (k % 2) * TILE_J
         packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
         lane_tab = jnp.bitwise_and(packed, LANES - 1)
+        if unit:
+            sub_tab = jnp.bitwise_and(jnp.right_shift(packed, 7), 63)
+            for b in range(bs):
+                bi = np.int32(b)
+                window = xwin_ref[slot, bi, pl.ds(w, wr), :]
+                gth = _gather_window(window, sub_tab, lane_tab, wr)
+                gth = jnp.where(packed >= 0, gth, jnp.zeros_like(gth))
+                out_ref[bi, cl] = out_ref[bi, cl] + gth.astype(acc_dtype)
+            continue
         sub_tab = jnp.right_shift(packed, 7)
         if vals_paired:
             v = vals_ref[k // 2, pl.ds(half, TILE_J), :].astype(acc_dtype)
@@ -1336,14 +1546,24 @@ def spmv_lane_tiles(
     ns = nt // tps
     windowed = dev.x_block_rows > 0
     npf = 4 if windowed else 3
-    vals_spec = pl.BlockSpec(
-        (tps // 2, 2 * TILE_J, LANES)
-        if dev.vals.shape[1] == 2 * TILE_J
-        else (tps, TILE_J, LANES),
-        (lambda s, m, g, f, xb: (s, Z, Z)) if windowed
-        else (lambda s, m, g, f: (s, Z, Z)),
-        memory_space=pltpu.VMEM,
-    )
+    if dev.unit_vals:
+        # placeholder (2, 8, 128) zero block pinned at index 0 — the
+        # kernel never reads it; the value stream lives in src16's sign
+        vals_spec = pl.BlockSpec(
+            (2, TILE_J, LANES),
+            (lambda s, m, g, f, xb: (Z, Z, Z)) if windowed
+            else (lambda s, m, g, f: (Z, Z, Z)),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        vals_spec = pl.BlockSpec(
+            (tps // 2, 2 * TILE_J, LANES)
+            if dev.vals.shape[1] == 2 * TILE_J
+            else (tps, TILE_J, LANES),
+            (lambda s, m, g, f, xb: (s, Z, Z)) if windowed
+            else (lambda s, m, g, f: (s, Z, Z)),
+            memory_space=pltpu.VMEM,
+        )
     src_spec = pl.BlockSpec(
         (tps // 2, 2 * TILE_J, LANES),
         (lambda s, m, g, f, xb: (s, Z, Z)) if windowed
@@ -1361,6 +1581,7 @@ def spmv_lane_tiles(
         kernel = functools.partial(
             _kernel_windowed, acc_dtype=acc_dtype, tps=tps, bs=bs,
             XB=XB, n_groups=dev.n_groups, wr=dev.window_rows,
+            unit=dev.unit_vals,
         )
         scratch = [
             pltpu.VMEM((2, bs, XB, LANES), x3d.dtype),
@@ -1379,7 +1600,7 @@ def spmv_lane_tiles(
         )
         kernel = functools.partial(
             _kernel, acc_dtype=acc_dtype, tps=tps, bs=bs,
-            wr=dev.window_rows,
+            wr=dev.window_rows, unit=dev.unit_vals,
         )
         scratch = []
         extra = ()

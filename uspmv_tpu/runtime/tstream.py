@@ -43,6 +43,7 @@ from ..ops.pallas_scs import (
     build_device_lane_tiles,
     build_device_mixed_tiles,
     build_device_product_tiles,
+    build_device_product_tiles_t,
     lane_tiles_fit,
     spmv_lane_tiles,
     spmv_mixed_tiles,
@@ -58,6 +59,12 @@ B_SPLIT_TH = 8  # B' heavy-row split threshold (slot-multiplicity bound)
 B_CHUNKS_PER_GROUP = 32  # real part: per-group PT window = 32 slabs
 B_VIRT_CHUNKS_PER_GROUP = 8  # virtual part: parent slabs spread wider
 B_TILES_PER_STEP = 64
+# B' gather-window height (x2d rows). Wider windows pack slightly tighter
+# (fill 0.224 at 64 vs 0.213 at 32 on RandomImbalanced) but the gather
+# ladder costs ~2 VPU ops per 8 window rows per tile, and phase 3 is
+# VPU-bound, not stream-bound (measured: dropping B's value stream moved
+# the iteration <5%), so the cheaper ladder wins.
+B_WINDOW_ROWS = 32
 # Hub-dominated matrices overflow the capped cells and spill a few
 # percent of their elements; the spill term then costs more than the
 # 3-pass saves over the masked mixed mode (measured: PowerLawCols 3.5 vs
@@ -109,6 +116,39 @@ class TStreamDev:
         return False
 
 
+def _pad_product_nb(pt):
+    """Pad the column-block count so NB * s_pad is lane-aligned
+    (% 128 == 0): the transposed-write phase-1 kernel then yields a PT
+    whose flat view is a FREE reshape (no XLA relayout copy between
+    phases). The padding blocks are all-zero tiles; element positions are
+    remapped to the widened slabs."""
+    import dataclasses as _dc
+    import math
+
+    g = math.gcd(pt.s_pad, LANES)
+    need = LANES // g
+    NBp = ((pt.NB + need - 1) // need) * need
+    if NBp == pt.NB:
+        return pt
+    s8 = pt.s_pad // 8
+    add = (NBp - pt.NB) * pt.NCg * s8
+    vals = np.concatenate(
+        [pt.vals, np.zeros((add, TILE_J, LANES), dtype=pt.vals.dtype)]
+    )
+    src = np.concatenate(
+        [pt.src_tab, np.zeros((add, TILE_J, LANES), dtype=pt.src_tab.dtype)]
+    )
+    w = np.concatenate([pt.w_row, np.zeros(add, dtype=pt.w_row.dtype)])
+    cb = pt.elem_pos // pt.s_pad
+    k = pt.elem_pos - cb * pt.s_pad
+    c = cb // pt.NB
+    b = cb - c * pt.NB
+    elem_pos = (c * NBp + b) * pt.s_pad + k
+    return _dc.replace(
+        pt, vals=vals, src_tab=src, w_row=w, NB=NBp, elem_pos=elem_pos
+    )
+
+
 def build_tstream(
     scs: ScsData, dtype=np.float32, device=None
 ) -> TStreamDev:
@@ -129,9 +169,10 @@ def build_tstream(
             f"phase-1 spills {pt.spill_rows.size}/{n_el} elements; the "
             "cell layout is not paying for itself (hub-dominated matrix)"
         )
+    pt = _pad_product_nb(pt)
     NC = pt.n_chunks
     NPT = NC * pt.NB * pt.s_pad
-    p1 = build_device_product_tiles(pt, dtype=dtype, device=device)
+    p1 = build_device_product_tiles_t(pt, dtype=dtype, device=device)
 
     # --- B': rows -> PT positions, round-robin split + aligned fold ---
     # Pieces take STRIDED elements (j mod q) instead of consecutive column
@@ -190,7 +231,8 @@ def build_tstream(
     b1 = build_device_lane_tiles(
         scs_b, dtype=np.float32, device=device, x_len=NPT,
         chunks_per_group=B_CHUNKS_PER_GROUP, packer="colwalk",
-        window_rows=64, tiles_per_step=B_TILES_PER_STEP,
+        window_rows=B_WINDOW_ROWS, tiles_per_step=B_TILES_PER_STEP,
+        unit_values=True,
     )
 
     bv_dev = None
@@ -210,16 +252,16 @@ def build_tstream(
             bv_dev = build_device_lane_tiles(
                 scs_v, dtype=np.float32, device=device, x_len=NPT,
                 chunks_per_group=B_VIRT_CHUNKS_PER_GROUP,
-                packer="colwalk", window_rows=64,
-                tiles_per_step=B_TILES_PER_STEP,
+                packer="colwalk", window_rows=B_WINDOW_ROWS,
+                tiles_per_step=B_TILES_PER_STEP, unit_values=True,
             )
         except LaneTileBudgetError:
             # parent slabs spread too wide for the large group: halve it
             bv_dev = build_device_lane_tiles(
                 scs_v, dtype=np.float32, device=device, x_len=NPT,
                 chunks_per_group=B_VIRT_CHUNKS_PER_GROUP // 2,
-                packer="colwalk", window_rows=64,
-                tiles_per_step=B_TILES_PER_STEP,
+                packer="colwalk", window_rows=B_WINDOW_ROWS,
+                tiles_per_step=B_TILES_PER_STEP, unit_values=True,
             )
         fold_dev = _build_fold_dev(fold_idx, n_real, device)
         if fold_dev is None:
@@ -242,7 +284,7 @@ def build_tstream(
             # element per tile-window without any budget risk
             spill_dev = build_device_lane_tiles(
                 scs_s, dtype=dtype, device=device,
-                x_len=scs.n_rows_padded, packer="colwalk", window_rows=64,
+                x_len=scs.n_rows_padded, packer="colwalk", window_rows=B_WINDOW_ROWS,
             )
 
     return TStreamDev(
@@ -267,17 +309,26 @@ def spmv_tstream(
     """y = A @ x through the 3 passes (+ spill term)."""
     from .operator import block_prefix_sums
 
-    p = spmv_product_tiles(dev.p1, x, interpret=interpret)
-    s8 = dev.s_pad // 8
-    # [nt, 8, 128] where nt = NB*NCg*s8 (+ step padding, sliced off)
-    P = p[: dev.NB * dev.NCg * s8].reshape(
-        dev.NB, dev.NCg, s8, TILE_J, LANES
-    )
-    # cell (b, c=g2*128+j) element k=k1*8+a sits at P[b, g2, k1, a, j];
-    # PT wants [c, b, k] so chunk c's sources form one contiguous slab
-    PT = jnp.transpose(P, (1, 4, 0, 2, 3)).reshape(
-        dev.NCg * 128, dev.NB * dev.s_pad
-    )[: dev.NC].reshape(-1)
+    from ..ops.pallas_scs import DeviceProductTilesT, spmv_product_tiles_t
+
+    if isinstance(dev.p1, DeviceProductTilesT):
+        # fused phase 1+2: the kernel wrote PT directly (transposed
+        # blocks); NB*s_pad % 128 == 0 makes this reshape a free view
+        PT = spmv_product_tiles_t(dev.p1, x, interpret=interpret).reshape(
+            -1
+        )
+    else:
+        p = spmv_product_tiles(dev.p1, x, interpret=interpret)
+        s8 = dev.s_pad // 8
+        # [nt, 8, 128] where nt = NB*NCg*s8 (+ step padding, sliced off)
+        P = p[: dev.NB * dev.NCg * s8].reshape(
+            dev.NB, dev.NCg, s8, TILE_J, LANES
+        )
+        # cell (b, c=g2*128+j) element k=k1*8+a sits at P[b, g2, k1, a, j];
+        # PT wants [c, b, k] so chunk c's sources form one contiguous slab
+        PT = jnp.transpose(P, (1, 4, 0, 2, 3)).reshape(
+            dev.NCg * 128, dev.NB * dev.s_pad
+        )[: dev.NC].reshape(-1)
     y = spmv_lane_tiles(dev.b1, PT, interpret=interpret)
     n_real = dev.n_rows_padded
     y = y[:n_real]
