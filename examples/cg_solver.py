@@ -23,12 +23,13 @@ def cg(op, b_host, tol=1e-6, maxiter=500):
     import jax
     import jax.numpy as jnp
 
+    import functools
+
     spmv = op.build_spmv_closure()
     args = op.kernel_args
 
     b = op.make_x(b_host)
 
-    @jax.jit
     def step(args, state):
         x, r, p, rs = state
         Ap = spmv(args, p)
@@ -39,6 +40,19 @@ def cg(op, b_host, tol=1e-6, maxiter=500):
         p = r + (rs_new / rs) * p
         return (x, r, p, rs_new)
 
+    # Batch BATCH iterations inside ONE launch (lax.scan): the residual is
+    # only inspected every BATCH iterations anyway, and per-launch dispatch
+    # overhead dominates CG on small matrices (the same launch-bound tax
+    # the fused solve kernel removes for -mode s; reference solve loop
+    # main.cpp:528-607 pays nothing per iteration).
+    BATCH = 25
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def steps(args, state, n):
+        return jax.lax.scan(
+            lambda s, _: (step(args, s), None), state, None, length=n
+        )[0]
+
     x = jnp.zeros_like(b)
     r = b
     p = b
@@ -48,14 +62,13 @@ def cg(op, b_host, tol=1e-6, maxiter=500):
     it = 0
     res = 1.0
     while it < maxiter:
-        state = step(args, state)
-        it += 1
-        # fetch the residual only every 25 iterations — each float() is a
-        # device sync that would otherwise serialize the pipeline
-        if it % 25 == 0 or it == maxiter:
-            res = float(jnp.sqrt(state[3])) / b_norm
-            if res <= tol:
-                break
+        n = min(BATCH, maxiter - it)
+        state = steps(args, state, n)
+        it += n
+        # one device sync per batch, not per iteration
+        res = float(jnp.sqrt(state[3])) / b_norm
+        if res <= tol:
+            break
     res = float(jnp.sqrt(state[3])) / b_norm
     return op.to_host(state[0]), it, res
 

@@ -669,6 +669,23 @@ def _two_prod(a, b):
     return p, err
 
 
+def df64_pair_add(a, b):
+    """Double-float addition of two (hi, lo) pair arrays ([..., 2]).
+
+    Used OUTSIDE kernels to merge two df64 partial results — e.g. the
+    interior and halo contributions under comm/compute overlap — without
+    rounding at f32: TwoSum keeps the hi-component roundoff, so the only
+    loss is the final f32 round of the combined lo terms (~2^-48 relative,
+    the same order as the kernel's internal accumulation). This is what
+    lets -dp_emu keep overlap on; a componentwise ``+`` would silently
+    discard the error-free structure (VERDICT r3 item 4). The result pair
+    may be unnormalized, which to_host's exact per-component f64 summation
+    absorbs."""
+    s, e = _two_sum(a[..., 0], b[..., 0])
+    lo = e + (a[..., 1] + b[..., 1])
+    return jnp.stack([s, lo], axis=-1)
+
+
 def _kernel_df64(
     # scalar-prefetch refs (SMEM)
     meta_ref,
@@ -1622,6 +1639,191 @@ def spmv_lane_tiles(
       dev.vals, dev.src16, x3d)
     y = y.reshape(bs, -1)[:, :n_pad].T.astype(x.dtype)
     return y if block else y[:, 0]
+
+
+def _kernel_solve(
+    # scalar-prefetch refs (SMEM)
+    meta_ref,
+    sg_ref,
+    sf_ref,
+    # blocked inputs
+    vals_ref,  # (tps, 8, 128) or (tps/2, 16, 128) for 2-byte dtypes
+    src_ref,  # (tps/2, 16, 128) int16 gather tables
+    x_ref,  # (bs, x_rows, 128) the initial x, whole-VMEM resident
+    out_ref,  # (2, bs, NB8, 128): [0] = A^k x0, [1] = A^(k-1) x0
+    xy_ref,  # VMEM scratch (2, bs, xr, 128): ping-pong x/y buffers
+    *,
+    acc_dtype,
+    tps,
+    bs,
+    wr,
+    G,
+    NB8,
+    k_iters,
+    ns,
+):
+    """k solve iterations (y = A x; x <- y) inside ONE Pallas launch.
+
+    The TPU-native redesign of the reference's swap_local_vectors solve
+    loop (classes_structs.hpp:1130-1165, main.cpp:528-607): instead of k
+    kernel launches each paying dispatch overhead — which dominates on
+    the reference's own bundled matrices (bcsstk13: ~9.4 us/iteration of
+    which the kernel is ~1 us) — grid=(k, ns) sweeps the matrix k times
+    while x and y ping-pong between the halves of one VMEM scratch
+    buffer, selected by iteration parity. Grid steps execute sequentially
+    on the core, so iteration i+1 reads exactly iteration i's output.
+
+    Intermediate vectors stay in the f32 accumulator dtype (hp mode never
+    round-trips through bf16 between iterations — strictly more accurate
+    than the reference's all-half swap, documented deviation)."""
+    it = pl.program_id(0)
+    step = pl.program_id(1)
+    x_rows = x_ref.shape[1]
+    xr = xy_ref.shape[2]
+
+    @pl.when(jnp.logical_and(it == 0, step == 0))
+    def _():
+        # load x0 into buffer 0; buffer 1 and the padding tail start zero
+        xy_ref[0, :, pl.ds(0, x_rows), :] = x_ref[...].astype(acc_dtype)
+        if xr > x_rows:
+            xy_ref[0, :, pl.ds(x_rows, xr - x_rows), :] = jnp.zeros(
+                (bs, xr - x_rows, LANES), acc_dtype
+            )
+        xy_ref[1] = jnp.zeros((bs, xr, LANES), acc_dtype)
+
+    rpar = jax.lax.rem(it, np.int32(2)).astype(jnp.int32)
+    wpar = np.int32(1) - rpar
+    g_out = sg_ref[step]
+
+    @pl.when(sf_ref[step] == 1)
+    def _():
+        # first step of this output group in this sweep: zero its rows
+        xy_ref[wpar, :, pl.ds(g_out * (G * TILE_J), G * TILE_J), :] = (
+            jnp.zeros((bs, G * TILE_J, LANES), acc_dtype)
+        )
+
+    base = step * tps
+    vals_paired = vals_ref.shape[1] == 2 * TILE_J
+    for k in range(tps):
+        m = meta_ref[base + k]
+        w = m >> CL_BITS
+        cl = jnp.bitwise_and(m, (1 << CL_BITS) - 1)
+        half = (k % 2) * TILE_J
+        packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(jnp.int32)
+        lane_tab = jnp.bitwise_and(packed, LANES - 1)
+        sub_tab = jnp.right_shift(packed, 7)
+        if vals_paired:
+            v = vals_ref[k // 2, pl.ds(half, TILE_J), :].astype(acc_dtype)
+        else:
+            v = vals_ref[k].astype(acc_dtype)
+        row0 = (g_out * G + cl) * TILE_J
+        for b in range(bs):
+            window = xy_ref[rpar, b, pl.ds(w, wr), :]
+            g = _gather_window(window, sub_tab, lane_tab, wr)
+            cur = xy_ref[wpar, b, pl.ds(row0, TILE_J), :]
+            xy_ref[wpar, b, pl.ds(row0, TILE_J), :] = (
+                cur + v * g.astype(acc_dtype)
+            )
+
+    @pl.when(
+        jnp.logical_and(it == np.int32(k_iters - 1), step == np.int32(ns - 1))
+    )
+    def _():
+        out_ref[0] = xy_ref[wpar, :, pl.ds(0, NB8), :]
+        out_ref[1] = xy_ref[rpar, :, pl.ds(0, NB8), :]
+
+
+def solve_tiles_fit(dev: DeviceLaneTiles, bs: int = 1) -> bool:
+    """Whether the fused k-iteration solve kernel applies: whole-x mode,
+    plain value stream, and both ping-pong buffers + the 2-vector output
+    block within the VMEM budget."""
+    if dev.df64 or dev.unit_vals or dev.x_block_rows > 0:
+        return False
+    NB8 = dev.n_groups * dev.chunks_per_group * TILE_J
+    xr = max(dev.x_rows_total, dev.window_rows, NB8)
+    vmem = (2 * xr + 2 * NB8) * LANES * max(bs, 1) * 4
+    return vmem <= X_VMEM_BUDGET_BYTES
+
+
+def solve_lane_tiles(
+    dev: DeviceLaneTiles,
+    x: jax.Array,
+    k_iters: int,
+    interpret: Optional[bool] = None,
+) -> tuple:
+    """k_iters iterations of y = A x with on-chip x<->y swap in a single
+    Pallas launch. Returns (y_prev, y_final) = (A^(k-1) x0, A^k x0) in the
+    same device vector layout as x — the same contract as the scan-of-
+    launches solve (runtime/operator.py SpmvOperator.solve). Use
+    solve_tiles_fit() to gate eligibility."""
+    if interpret is None:
+        interpret = not pallas_supported()
+    assert k_iters >= 1
+    n_pad = dev.n_rows_padded
+    x_rows = max(
+        (x.shape[0] + LANES - 1) // LANES, dev.window_rows, dev.x_rows_total
+    )
+    block = x.ndim == 2
+    bs = x.shape[1] if block else 1
+    x3d = x if block else x[:, None]
+    if x3d.dtype.itemsize == 2:
+        x3d = x3d.astype(jnp.float32)
+    if x3d.shape[0] < x_rows * LANES:
+        x3d = jnp.pad(x3d, ((0, x_rows * LANES - x3d.shape[0]), (0, 0)))
+    x3d = x3d.T.reshape(bs, x_rows, LANES)
+    acc_dtype = jnp.float32 if x.dtype != jnp.float64 else jnp.float64
+
+    Z = np.int32(0)
+    nt = dev.n_tiles
+    tps = dev.tiles_per_step
+    G = dev.chunks_per_group
+    assert nt % tps == 0
+    ns = nt // tps
+    NB8 = dev.n_groups * G * TILE_J
+    xr = max(x_rows, NB8)
+
+    vals_spec = pl.BlockSpec(
+        (tps // 2, 2 * TILE_J, LANES)
+        if dev.vals.shape[1] == 2 * TILE_J
+        else (tps, TILE_J, LANES),
+        lambda i, s, m, g, f: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    src_spec = pl.BlockSpec(
+        (tps // 2, 2 * TILE_J, LANES),
+        lambda i, s, m, g, f: (s, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    x_spec = pl.BlockSpec(
+        x3d.shape, lambda i, s, m, g, f: (Z, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (2, bs, NB8, LANES),
+        lambda i, s, m, g, f: (Z, Z, Z, Z),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k_iters, ns),
+        in_specs=[vals_spec, src_spec, x_spec],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((2, bs, xr, LANES), acc_dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_solve, acc_dtype=acc_dtype, tps=tps, bs=bs,
+            wr=dev.window_rows, G=G, NB8=NB8, k_iters=k_iters, ns=ns,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, bs, NB8, LANES), acc_dtype),
+        interpret=interpret,
+    )(dev.meta, dev.step_group, dev.step_first,
+      dev.vals, dev.src16, x3d)
+    out = out.reshape(2, bs, -1)[:, :, :n_pad].astype(x.dtype)
+    y_final = out[0].T if block else out[0, 0]
+    y_prev = out[1].T if block else out[1, 0]
+    return y_prev, y_final
 
 
 def spmv_pallas(dev, x, interpret: Optional[bool] = None):

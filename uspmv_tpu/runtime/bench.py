@@ -100,6 +100,91 @@ def _make_runner(op: SpmvOperator):
     return jax.jit(run)
 
 
+def bench_solve(
+    op: SpmvOperator,
+    n_repetitions: int,
+    x: Optional[jax.Array] = None,
+    bench_time: Optional[float] = None,
+    warmup: int = 2,
+    timing_reps: int = 3,
+) -> BenchResult:
+    """Solve-mode benchmark: time y = A^k x with the x<->y swap, the way
+    the reference times its solve loop (main.cpp:528-607). On the fused
+    path (ops/pallas_scs.solve_lane_tiles) all k iterations run in ONE
+    Pallas launch, so this measures the launch-bound small-matrix class
+    honestly: GFLOP/s counts 2*nnz*bs per iteration, k*m iterations per
+    wall-clock window."""
+    if x is None:
+        x = op.make_x()
+    bench_time = bench_time if bench_time is not None else op.config.bench_time
+    solve_fn = op._solve_fn()
+
+    def run(args, xv, n):
+        _, y = solve_fn(args, xv, n)
+        return jnp.sum(y, dtype=jnp.float32)
+
+    runner = jax.jit(run, static_argnums=2)
+    args = op.kernel_args
+    k = int(n_repetitions)
+    float(runner(args, x, k))  # compile; scalar fetch = true sync
+    for _ in range(max(warmup - 1, 0)):
+        float(runner(args, x, k))
+
+    t_total0 = time.perf_counter()
+    m = 1
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(m):
+            float(runner(args, x, k))
+        elapsed = time.perf_counter() - t0
+        if elapsed >= bench_time or m >= (1 << 14):
+            break
+        m *= 2
+    samples = [elapsed]
+    for _ in range(max(timing_reps, 1) - 1):
+        t0 = time.perf_counter()
+        for _ in range(m):
+            float(runner(args, x, k))
+        samples.append(time.perf_counter() - t0)
+    elapsed = float(np.median(samples))
+    t_total = time.perf_counter() - t_total0
+
+    bs = op.config.block_vec_size
+    n_iter = k * m
+    gflops = 2.0 * op.nnz * bs * n_iter / elapsed / 1e9
+    mat_bytes = sum(d.stream_bytes() for d in op.devs.values())
+    vec_bytes = int(
+        op.n_rows_padded * bs * np.dtype(op.working_dtype).itemsize * 2
+    )
+    device = getattr(op, "device", None)
+    platform = device.platform if device is not None else "cpu"
+    fused = getattr(op, "_fused_solve_eligible", lambda: False)()
+    return BenchResult(
+        perf_gflops=gflops,
+        effective_gbps=(mat_bytes + vec_bytes) * n_iter / elapsed / 1e9,
+        duration_total_s=t_total,
+        duration_kernel_s=elapsed,
+        n_iterations=n_iter,
+        nnz=op.nnz,
+        block_vec_size=bs,
+        value_type=op.config.value_type,
+        kernel_format=op.config.kernel_format,
+        C=op.config.chunk_size,
+        sigma=op.config.sigma,
+        beta=op.beta(),
+        device_beta=op.device_beta(),
+        nnz_per_precision=op.nnz_per_precision(),
+        memory_footprint_bytes=op.bytes_per_spmv(),
+        n_rows=op.n_rows,
+        platform=platform,
+        impl=("solve-fused[" if fused else "solve-scan[")
+        + op.impl_name() + "]",
+        retiled=getattr(op, "retiled", False),
+        timing_samples_s=[float(s) for s in samples],
+        n_processes=jax.process_count(),
+    )
+
+
 def bench_spmv(
     op: SpmvOperator,
     x: Optional[jax.Array] = None,
