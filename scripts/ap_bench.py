@@ -58,6 +58,13 @@ def main() -> int:
     ap.add_argument("matrix", nargs="?", default="Laplace3D,128")
     ap.add_argument("--bench_time", type=float, default=1.5)
     ap.add_argument("--out", default="ap_bench.jsonl")
+    # get_buckets tolerances; the defaults target f64-level output
+    # accuracy. For the wide-spectrum ap[dp_sp_hp] demonstration use
+    # --tol1 1e-10 --tol2 1e-13: on chip the f32 accumulation noise
+    # (~1e-7) dominates anyway, so a deeper hp bucket trades invisible
+    # value error for a real bandwidth win (VERDICT r3 item 6).
+    ap.add_argument("--tol1", type=float, default=1e-14)
+    ap.add_argument("--tol2", type=float, default=1e-16)
     args = ap.parse_args()
 
     from uspmv_tpu.cli import load_matrix
@@ -72,8 +79,8 @@ def main() -> int:
     y_ref = A @ x_in
     ref_inf = np.abs(y_ref).max()
 
-    th1 = clamp_threshold(mtx, get_buckets_threshold(mtx, 1e-14))
-    th2 = clamp_threshold(mtx, get_buckets_threshold(mtx, 1e-16))
+    th1 = clamp_threshold(mtx, get_buckets_threshold(mtx, args.tol1))
+    th2 = clamp_threshold(mtx, get_buckets_threshold(mtx, args.tol2))
     if th2 >= th1:
         th2 = th1 / 2
     print(f"matrix: {args.matrix}  n={mtx.n_rows}  nnz={mtx.nnz}")

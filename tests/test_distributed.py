@@ -103,9 +103,79 @@ def test_hot_last_row_distributed_solve_validates():
 def test_seg_metis_returns_permutation():
     mtx = laplace2d(12)
     ws, perm = seg_work_sharing(mtx, 3, "seg-metis")
-    assert perm is not None
-    assert sorted(perm.tolist()) == list(range(mtx.n_rows))
+    # natural order may win the candidate comparison (perm None); when a
+    # permutation is returned it must be a bijection
+    if perm is not None:
+        assert sorted(perm.tolist()) == list(range(mtx.n_rows))
     assert ws[-1] == mtx.n_rows
+
+
+def test_seg_metis_cuts_comm_volume_scattered():
+    """The point of the METIS mode is to cut halo communication
+    (reference mpi_funcs.hpp:494-598). On a randomly row-scattered band
+    matrix, seg-metis must STRICTLY reduce the measured halo volume vs
+    seg-nnz — by orders of magnitude, since the candidate RCM ordering
+    recovers the band (VERDICT r3 weak #5/item 5)."""
+    from uspmv_tpu.io.generators import random_banded
+    from uspmv_tpu.parallel.partition import halo_comm_volume
+
+    rng = np.random.default_rng(5)
+    band = random_banded(8000, 40, 10)
+    p = rng.permutation(band.n_rows).astype(np.int64)
+    scattered = band.permute(p, None).sort_by_row()
+
+    ws_nnz, _ = seg_work_sharing(scattered, 8, "seg-nnz")
+    vol_nnz = halo_comm_volume(scattered, ws_nnz)
+    ws_m, perm = seg_work_sharing(scattered, 8, "seg-metis")
+    m = (scattered.permute(perm, None).sort_by_row()
+         if perm is not None else scattered)
+    vol_m = halo_comm_volume(m, ws_m)
+    assert vol_m < vol_nnz / 10, (vol_m, vol_nnz)
+
+
+def test_seg_metis_never_worse_fem():
+    """On a mesh matrix whose natural ordering is already good, the
+    candidate comparison guarantees seg-metis is never WORSE than the
+    plain nnz split (round 3's RCM-only analogue regressed here)."""
+    from uspmv_tpu.io.generators import fem_tet3d
+    from uspmv_tpu.parallel.partition import halo_comm_volume
+
+    mtx = fem_tet3d(12)
+    ws_nnz, _ = seg_work_sharing(mtx, 8, "seg-nnz")
+    vol_nnz = halo_comm_volume(mtx, ws_nnz)
+    ws_m, perm = seg_work_sharing(mtx, 8, "seg-metis")
+    m = (mtx.permute(perm, None).sort_by_row()
+         if perm is not None else mtx)
+    vol_m = halo_comm_volume(m, ws_m)
+    assert vol_m <= vol_nnz, (vol_m, vol_nnz)
+
+
+def test_seg_metis_end_to_end_comm_volume_and_correctness():
+    """The reduction must survive the full operator build: the
+    DistributedSpmvOperator's own comm accounting
+    (comm_volume_per_spmv, reference -print_comm_vol) shrinks under
+    seg-metis AND results stay correct through the global
+    permute/unpermute."""
+    from uspmv_tpu.io.generators import random_banded
+
+    rng = np.random.default_rng(9)
+    band = random_banded(4000, 30, 8)
+    p = rng.permutation(band.n_rows).astype(np.int64)
+    scattered = band.permute(p, None).sort_by_row()
+    A = scattered.to_scipy().tocsr()
+    x = rng.standard_normal(scattered.n_rows)
+
+    vols = {}
+    for seg in ("seg-nnz", "seg-metis"):
+        cfg = Config(
+            kernel_format="scs", chunk_size=1024, sigma=1,
+            value_type="dp", backend="cpu", n_shards=4, seg_method=seg,
+        )
+        op = DistributedSpmvOperator.from_mtx(cfg, scattered)
+        y = op.to_host(op.spmv(op.make_x(x)))
+        np.testing.assert_allclose(y, A @ x, rtol=1e-10, atol=1e-12)
+        vols[seg] = op.comm_volume_per_spmv()["dp"]["real"]
+    assert vols["seg-metis"] < vols["seg-nnz"] / 5, vols
 
 
 # ------------------------------------------------------ halo analyzer (rank-simulated)
@@ -484,25 +554,83 @@ def test_distributed_windowed_x(monkeypatch):
 def test_distributed_dp_emulation_8_shards():
     """-dp_emu -n_shards 8 on the virtual mesh (VERDICT r2 item 5): x
     travels as (hi, lo) f32 pairs through the dtype-agnostic halo
-    exchange; overlap is disabled (pair partials must not be summed
-    outside the kernel) and splitting stays off. Interpret-mode accuracy
-    is degraded (~1e-7; EFTs are rewritten) — the on-chip check is
-    scripts/check_dp_emu.py."""
+    exchange. Comm/compute overlap is ON (r4, VERDICT r3 item 4): the
+    interior + halo pair partials merge through the TwoSum pair add
+    (ops/pallas_scs.df64_pair_add), not a rounding componentwise sum.
+    Interpret-mode accuracy is degraded (~1e-7; EFTs are rewritten) —
+    the on-chip check is scripts/check_dp_emu.py."""
     from uspmv_tpu.io.generators import laplace2d
 
     rng = np.random.default_rng(3)
     mtx = laplace2d(48)
     mtx.values[:] = mtx.values * np.exp(rng.standard_normal(mtx.nnz))
+    for overlap in (True, False):
+        cfg = Config(
+            kernel_format="scs", chunk_size=1024, sigma=1, value_type="dp",
+            dp_emulation=True, n_shards=8, seg_method="seg-nnz",
+            backend="cpu", overlap_comm=overlap,
+        )
+        op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+        assert op.impl_name() == "pallas-lane-tiles-df64"
+        if overlap:
+            # the split interior/halo structure must actually engage
+            assert any(d is not None for d in op.devs_halo.values())
+        x = rng.standard_normal(mtx.n_rows)
+        y = op.to_host(op.spmv(op.make_x(x)))
+        ref = mtx.to_scipy().tocsr() @ x
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 5e-5
+
+
+def test_distributed_dp_emulation_block_vectors():
+    """-dp_emu -n_shards 4 -block_vec_size 3 -layout rowwise (VERDICT r3
+    item 4: the last dp-path asymmetry): paired x rides the halo exchange
+    as [n_loc, bs, 2] and the fused rowwise df64 kernel consumes all RHS
+    columns in one matrix stream. Checked against the f64 oracle per
+    column. Reference baseline: dp under MPI with block vectors
+    (main.cpp:1345, kernels.hpp:68-154)."""
+    from uspmv_tpu.io.generators import laplace2d
+
+    rng = np.random.default_rng(7)
+    mtx = laplace2d(40)
+    mtx.values[:] = mtx.values * np.exp(rng.standard_normal(mtx.nnz))
+    A = mtx.to_scipy().tocsr()
+    X = rng.standard_normal((mtx.n_rows, 3))
+    for overlap in (True, False):
+        cfg = Config(
+            kernel_format="scs", chunk_size=1024, sigma=1, value_type="dp",
+            dp_emulation=True, n_shards=4, block_vec_size=3,
+            vector_layout="rowwise", seg_method="seg-nnz", backend="cpu",
+            overlap_comm=overlap,
+        )
+        op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+        assert op.impl_name() == "pallas-lane-tiles-df64"
+        y = op.to_host(op.spmv(op.make_x(X)))
+        ref = A @ X
+        assert y.shape == ref.shape
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 5e-5
+
+
+def test_distributed_ap_dp_sp_sharded():
+    """ap[dp_sp] x -dp_emu x sharding: the dp partition runs the df64
+    kernel on pairs, the sp partition reads the hi component through its
+    own halo plan, and the sp partials fold into the pair's lo slot
+    (mirrors the single-chip policy, runtime/operator.py)."""
+    from uspmv_tpu.io.generators import laplace2d
+
+    rng = np.random.default_rng(11)
+    mtx = laplace2d(40)
+    mtx.values[:] = mtx.values * np.exp(2.0 * rng.standard_normal(mtx.nnz))
     cfg = Config(
-        kernel_format="scs", chunk_size=1024, sigma=1, value_type="dp",
-        dp_emulation=True, n_shards=8, seg_method="seg-nnz", backend="cpu",
+        kernel_format="scs", chunk_size=1024, sigma=1,
+        value_type="ap[dp_sp]", ap_threshold_1=1.0, dp_emulation=True,
+        n_shards=4, seg_method="seg-nnz", backend="cpu",
     )
     op = DistributedSpmvOperator.from_mtx(cfg, mtx)
-    assert op.impl_name() == "pallas-lane-tiles-df64"
     x = rng.standard_normal(mtx.n_rows)
     y = op.to_host(op.spmv(op.make_x(x)))
     ref = mtx.to_scipy().tocsr() @ x
-    assert np.abs(y - ref).max() / np.abs(ref).max() < 5e-5
+    # sp partials round at f32; the dp partition keeps pair precision
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 5e-6
 
 
 def test_distributed_mixed_tiles_zero_locality():

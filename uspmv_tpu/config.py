@@ -183,11 +183,6 @@ class Config:
                     "-dp_emu block vectors require -layout rowwise (the "
                     "df64 kernel fuses all RHS columns in one stream)"
                 )
-            if self.n_shards > 1 and self.block_vec_size > 1:
-                raise ValueError(
-                    "-dp_emu supports either block vectors or sharding, "
-                    "not both yet"
-                )
         if self.block_vec_size < 1:
             raise ValueError("block_vec_size must be >= 1")
         if self.value_type in AP_VALUE_TYPES:

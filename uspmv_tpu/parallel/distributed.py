@@ -333,11 +333,12 @@ class DistributedSpmvOperator:
                     scatters=[jnp.asarray(hp.recv_scatter_idx[d]) for d in hp.offsets],
                 )
 
-        # df64 partial sums are (hi, lo) pairs; adding interior + halo
-        # partials componentwise outside the kernel would round away the
-        # error-free structure, so overlap is off under -dp_emu
-        overlap = (config.overlap_comm and config.comm_mode != "allgather"
-                   and not config.dp_emulation)
+        # df64 partial sums are (hi, lo) pairs: the interior + halo merge
+        # uses the TwoSum pair add (ops/pallas_scs.df64_pair_add) instead
+        # of a componentwise ``+`` that would round away the error-free
+        # structure, so overlap stays ON under -dp_emu (VERDICT r3 item 4;
+        # reference dp-under-MPI baseline main.cpp:1345)
+        overlap = config.overlap_comm and config.comm_mode != "allgather"
         from ..ops.pallas_scs import MAX_META_TILES
         from ..runtime.operator import use_lane_tiles
 
@@ -398,10 +399,11 @@ class DistributedSpmvOperator:
                 windowed = not lane_tiles_fit(
                     int(x_len), eff * (2 if df64_p else 1)
                 )
-                if windowed and df64_p:
+                if windowed and df64_p and eff > 1:
+                    # the windowed df64 kernel (r3) is bs=1 only
                     raise LaneTileBudgetError(
-                        "dp emulation (df64) has no windowed-x kernel; "
-                        "per-shard x exceeds the VMEM budget"
+                        "windowed-x dp emulation (df64) supports bs=1 "
+                        "only; per-shard paired x exceeds the VMEM budget"
                     )
 
                 def mk(wr, xb_force=None):
@@ -697,29 +699,53 @@ class DistributedSpmvOperator:
         V0, region = self.fold_region
         has_fold = self.fold_dev is not None
 
+        # mixed AP x df64 (-dp_emu with ap[dp_*]): same policy as the
+        # single-chip operator (runtime/operator.py) — the dp stream runs
+        # the double-float kernel on (hi, lo) pairs, lower-precision
+        # streams read the hi component, and their partials fold into the
+        # lo slot of the pair (exactly absorbed by to_host's f64 sum)
+        from ..ops.pallas_scs import df64_pair_add
+
+        df64_flags = {
+            p: bool(getattr(self.devs[p], "df64", False)) for p in precisions
+        }
+        mixed_df64 = any(df64_flags.values()) and not all(df64_flags.values())
+
         def shard_fn(x_blk, devs_blk, halo_blk, plan_arrays, fold_blk):
             # shard_map gives blocks with leading dim 1
             x = x_blk[0]
             y = None
+            y_pair = None
             for p in precisions:
                 dev = jax.tree.map(lambda a: a[0], devs_blk[p])
                 plan = self.plans[p]
                 ga = [a[0] for a in plan_arrays[p]["g"]]
                 sc = [a[0] for a in plan_arrays[p]["s"]]
                 halo = halo_blk.get(p)
+                df64_p = df64_flags[p]
+                xin = x[..., 0] if (mixed_df64 and not df64_p) else x
                 if halo is not None:
                     # comm/compute overlap: the interior part reads only
                     # local x, so XLA schedules it while the ppermutes of
                     # _exchange are in flight (async collectives); the small
                     # halo part runs after the exchange completes
                     halo_dev = jax.tree.map(lambda a: a[0], halo)
-                    yk = impl(dev, x)[:n_loc]
-                    xb = self._exchange(x, plan, ga, sc)
-                    yk = yk + impl(halo_dev, xb)[:n_loc]
+                    yk = impl(dev, xin)[:n_loc]
+                    xb = self._exchange(xin, plan, ga, sc)
+                    yh = impl(halo_dev, xb)[:n_loc]
+                    yk = df64_pair_add(yk, yh) if df64_p else yk + yh
                 else:
-                    xb = self._exchange(x, plan, ga, sc)
+                    xb = self._exchange(xin, plan, ga, sc)
                     yk = impl(dev, xb)[:n_loc]
-                y = yk if y is None else y + yk
+                if df64_p:
+                    y_pair = (yk if y_pair is None
+                              else df64_pair_add(y_pair, yk))
+                else:
+                    y = yk if y is None else y + yk
+            if y_pair is not None:
+                y = (y_pair if y is None else jnp.stack(
+                    [y_pair[..., 0], y_pair[..., 1] + y], axis=-1
+                ))
             if has_fold:
                 # vectorized virtual-row fold (see runtime/operator.py):
                 # block-local prefix sums of the shard's virtual region
