@@ -42,7 +42,10 @@ def main() -> int:
         precs = ["sp"]
     else:
         cs = [(1, 1), (16, 512), (1024, 1), (1024, 1024)]
-        bss = [1, 4, 8]
+        # bs 16/32: reference supports arbitrary block_vec_size
+        # (kernels.hpp:306-551); record where the VMEM x budget flips the
+        # kernel to windowed mode (VERDICT r3 item 7)
+        bss = [1, 4, 8, 16, 32]
         precs = ["sp", "hp"]
 
     rows = []

@@ -548,3 +548,27 @@ def test_fused_solve_ineligible_paths_fall_back():
     dev_w = build_device_lane_tiles(scs, x_window=True)
     assert dev_w.x_block_rows > 0
     assert not solve_tiles_fit(dev_w, 1)
+
+
+@pytest.mark.parametrize("bs", [16, 32])
+def test_spmmv_wide_block_vectors(bs):
+    """bs in {16, 32} rowwise (VERDICT r3 item 7; reference supports
+    arbitrary block_vec_size, kernels.hpp:306-551): builds must engage
+    either whole-x or windowed-x mode cleanly — a budget overflow raises
+    a typed error upstream, never a cliff — and match scipy."""
+    from uspmv_tpu.io.generators import laplace3d
+    from uspmv_tpu.runtime.operator import SpmvOperator
+
+    mtx = laplace3d(24)
+    cfg = Config(
+        kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
+        value_type="sp", backend="cpu",
+        block_vec_size=bs, vector_layout="rowwise",
+    )
+    op = SpmvOperator.from_mtx(cfg, mtx)
+    assert op.impl_name().startswith("pallas-lane-tiles")
+    rng = np.random.default_rng(bs)
+    X = rng.standard_normal((mtx.n_rows, bs)).astype(np.float32)
+    Y = op.to_host(np.asarray(op.spmv(op.make_x(X))))
+    ref = mtx.to_scipy().tocsr() @ X.astype(np.float64)
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 2e-5

@@ -744,18 +744,53 @@ class SpmvOperator:
         row clustering pushed the cell cap 4x over the mean and spilled
         10% of the elements). Returns None when any budget refuses."""
         from ..formats.scs import logical_elements, sigma_window_perm
-        from ..ops.packer import CHUNK_ROWS
+        from ..ops.packer import CHUNK_ROWS, LANES
         from ..ops.pallas_scs import LaneTileBudgetError
         from .tstream import build_tstream
 
         prec = config.value_type
+        split_plan = None
+        n_orig = mtx.n_rows
+        counts_orig = np.bincount(mtx.I, minlength=n_orig).astype(np.int64)
+
+        # hub-column peel (VERDICT r3 item 3b): power-law hub columns
+        # overflow phase-1's capped cells and used to disqualify the
+        # whole mode (spill gate). Peel the heaviest columns into their
+        # own lane-tile term whose x values gather into ONE compact
+        # VMEM window (perfect column locality by construction); the
+        # residual then passes the 3-pass gates. Reference requirement:
+        # CRS graceful degradation on scattered columns
+        # (kernels.hpp:22-63); the mechanism is TPU-first.
+        HUB_MAX_COLS = 4096  # 32 gather-window rows of hub x
+        HUB_MIN_FRAC = 0.04  # below this a 4th kernel isn't worth it
+        counts_col = np.bincount(mtx.J, minlength=mtx.n_cols)
+        mean_c = max(mtx.nnz / max(mtx.n_cols, 1), 1.0)
+        cand = np.flatnonzero(counts_col > 8 * mean_c)
+        hub_cols = None
+        if cand.size:
+            cand = cand[np.argsort(-counts_col[cand], kind="stable")]
+            cand = cand[:HUB_MAX_COLS]
+            if counts_col[cand].sum() >= HUB_MIN_FRAC * mtx.nnz:
+                hub_cols = np.sort(cand)
+        hub_coo = None
+        if hub_cols is not None:
+            rank = np.full(mtx.n_cols, -1, dtype=np.int64)
+            rank[hub_cols] = np.arange(hub_cols.size, dtype=np.int64)
+            hmask = rank[mtx.J] >= 0
+            if hmask.all():  # degenerate: everything is hub -> no peel
+                hub_cols = None
+            else:
+                hub_coo = (mtx.I[hmask], rank[mtx.J[hmask]],
+                           mtx.values[hmask])
+                mtx = MtxData.from_arrays(
+                    mtx.I[~hmask], mtx.J[~hmask], mtx.values[~hmask],
+                    n_rows=mtx.n_rows, n_cols=mtx.n_cols,
+                ).sort_by_row()
+
         # cap EXTREME rows first: a monster row's elements concentrate in
         # ONE chunk's cells and inflate the global cell capacity (the
         # B' fold also supports <= 1023 pieces of 8 per row); the few
         # virtual rows fold by a tiny scatter-add afterwards
-        split_plan = None
-        n_orig = mtx.n_rows
-        counts_orig = np.bincount(mtx.I, minlength=n_orig).astype(np.int64)
         mtx, sp_parent = split_heavy_rows(mtx, 2048)
         counts = np.bincount(mtx.I, minlength=mtx.n_rows).astype(np.int64)
         nch = (mtx.n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS
@@ -777,6 +812,38 @@ class SpmvOperator:
             ts = build_tstream(scs_t, dtype=dtype_for(prec), device=device)
         except LaneTileBudgetError:
             return None
+        nnz_total = mtx.nnz
+        if hub_coo is not None:
+            import dataclasses as _dc
+
+            from ..ops.pallas_scs import build_device_lane_tiles
+
+            hI, hJ, hV = hub_coo
+            K_pad = ((hub_cols.size + LANES - 1) // LANES) * LANES
+            hub_mtx = MtxData.from_arrays(
+                hI, hJ, hV, n_rows=mtx.n_rows, n_cols=K_pad
+            ).sort_by_row()
+            scs_h = convert_to_scs(
+                hub_mtx.astype(dtype_for(prec)), CHUNK_ROWS, 1,
+                fixed_permutation=bperm,
+            )
+            try:
+                hub_dev = build_device_lane_tiles(
+                    scs_h, dtype=dtype_for(prec), device=device,
+                    x_len=K_pad, window_rows=32,
+                )
+            except LaneTileBudgetError:
+                return None
+            pos = np.zeros(K_pad, dtype=np.int32)
+            pos[: hub_cols.size] = bperm[hub_cols]
+            hub_pos = jnp.asarray(pos)
+            if device is not None:
+                hub_pos = jax.device_put(hub_pos, device)
+            ts = _dc.replace(
+                ts, hub=hub_dev, hub_pos=hub_pos,
+                nnz=ts.nnz + hub_mtx.nnz,
+            )
+            nnz_total += hub_mtx.nnz
         # logical (user C, sigma) beta is format accounting, independent
         # of the execution permutation
         if sp_parent is not None:
@@ -798,12 +865,12 @@ class SpmvOperator:
             devs={prec: ts},
             old_to_new=bperm[:n_real],
             matrix_stats=stats,
-            nnz=mtx.nnz,
+            nnz=nnz_total,
             split_plan=split_plan,
             jacobi_diag=jac,
             equilib=equilib,
             device=device,
-            logical_beta={prec: mtx.nnz / le if le else 1.0},
+            logical_beta={prec: nnz_total / le if le else 1.0},
             retiled=(C_log != CHUNK_ROWS),
         )
 

@@ -90,6 +90,12 @@ class TStreamDev:
     n_rows_padded: int = dataclasses.field(metadata=dict(static=True))
     fold_region: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # hub-column peel (operator._try_tstream): lane tiles over the k
+    # heaviest columns, whose x values gather into a compact window the
+    # whole kernel can hold in VMEM — the escape hatch for power-law hub
+    # columns that overflow phase-1's capped cells (VERDICT r3 item 3b)
+    hub: object = None  # DeviceLaneTiles over hub columns, or None
+    hub_pos: object = None  # int32 device positions of hub x values
 
     def stream_bytes(self) -> int:
         total = self.p1.stream_bytes() + self.b1.stream_bytes()
@@ -101,6 +107,8 @@ class TStreamDev:
             total += self.fold.stream_bytes()
         if self.spill is not None:
             total += self.spill.stream_bytes()
+        if self.hub is not None:
+            total += self.hub.stream_bytes()
         return int(total)
 
     @property
@@ -248,12 +256,20 @@ def build_tstream(
             m2.values[virt_mask], n_rows=region, n_cols=NPT,
         )
         scs_v = convert_to_scs(Bvi.astype(np.float32), CHUNK_ROWS, 1)
+        # a tiny virtual part must not pay the fat-step grid quantum
+        # (measured: 1.6k elements padded to 320 tiles = 5 steps of 64)
+        from ..ops.packer import auto_tiles_per_step
+
+        tps_v = min(
+            B_TILES_PER_STEP,
+            auto_tiles_per_step(max(scs_v.n_elements // CHUNK_ROWS, 1)),
+        )
         try:
             bv_dev = build_device_lane_tiles(
                 scs_v, dtype=np.float32, device=device, x_len=NPT,
                 chunks_per_group=B_VIRT_CHUNKS_PER_GROUP,
                 packer="colwalk", window_rows=B_WINDOW_ROWS,
-                tiles_per_step=B_TILES_PER_STEP, unit_values=True,
+                tiles_per_step=tps_v, unit_values=True,
             )
         except LaneTileBudgetError:
             # parent slabs spread too wide for the large group: halve it
@@ -261,7 +277,7 @@ def build_tstream(
                 scs_v, dtype=np.float32, device=device, x_len=NPT,
                 chunks_per_group=B_VIRT_CHUNKS_PER_GROUP // 2,
                 packer="colwalk", window_rows=B_WINDOW_ROWS,
-                tiles_per_step=B_TILES_PER_STEP, unit_values=True,
+                tiles_per_step=tps_v, unit_values=True,
             )
         fold_dev = _build_fold_dev(fold_idx, n_real, device)
         if fold_dev is None:
@@ -346,4 +362,11 @@ def spmv_tstream(
         else:
             ys = spmv_lane_tiles(dev.spill, x, interpret=interpret)
         y = y + ys[:n_real]
+    if dev.hub is not None:
+        # hub term: the k heaviest columns' x values, gathered to one
+        # compact VMEM-resident window; the hub matrix's column locality
+        # is perfect by construction so the regular lane-tile kernel
+        # runs it at banded-class rates
+        xh = jnp.take(x, dev.hub_pos)
+        y = y + spmv_lane_tiles(dev.hub, xh, interpret=interpret)[:n_real]
     return y.astype(x.dtype)
