@@ -551,6 +551,39 @@ def test_distributed_windowed_x(monkeypatch):
     np.testing.assert_allclose(y, y1, rtol=1e-6)
 
 
+def test_distributed_windowed_x_df64(monkeypatch):
+    """Windowed-x dp emulation under sharding (r4): per-shard paired x
+    beyond the VMEM budget engages the windowed df64 kernel (bs=1) in
+    the stacked shard_map program instead of refusing the build."""
+    import uspmv_tpu.ops.packer as packer_mod
+    import uspmv_tpu.ops.pallas_scs as pallas_mod
+
+    # budget above the df64 window footprint (4 double-buffered (hi, lo)
+    # planes per window row) but below the per-shard paired x
+    monkeypatch.setattr(pallas_mod, "X_VMEM_BUDGET_BYTES", 96 * 1024)
+    monkeypatch.setattr(
+        packer_mod, "resolve_chunks_per_group", lambda n, bs=1: 2
+    )
+    rng = np.random.default_rng(13)
+    mtx = laplace2d(260)  # per-shard paired x ~135 KB > forced budget
+    mtx.values[:] = mtx.values * np.exp(rng.standard_normal(mtx.nnz))
+    cfg = Config(
+        kernel_format="scs", chunk_size=1024, sigma=1, value_type="dp",
+        dp_emulation=True, n_shards=4, seg_method="seg-rows",
+        backend="cpu",
+    )
+    op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+    assert op.impl_name() == "pallas-lane-tiles-df64"
+    devs = [d for d in op.devs.values()]
+    halos = [d for d in op.devs_halo.values() if d is not None]
+    assert any(d.x_block_rows > 0 for d in devs + halos), \
+        "expected a windowed stacked df64 struct"
+    x = rng.standard_normal(mtx.n_rows)
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = mtx.to_scipy().tocsr() @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 5e-5
+
+
 def test_distributed_dp_emulation_8_shards():
     """-dp_emu -n_shards 8 on the virtual mesh (VERDICT r2 item 5): x
     travels as (hi, lo) f32 pairs through the dtype-agnostic halo
