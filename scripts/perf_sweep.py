@@ -22,6 +22,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("matrix", nargs="?", default="Laplace3D,64")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--bs_only", action="store_true",
+        help="only the block-vector dimension at the TPU-native C=1024 "
+             "(the VERDICT r3 item-7 record: where does the VMEM x-block "
+             "budget flip SpMMV to windowed mode?)")
     ap.add_argument("--bench_time", type=float, default=1.5)
     ap.add_argument("--out", default="perf_sweep.jsonl")
     args = ap.parse_args()
@@ -36,7 +41,11 @@ def main() -> int:
 
     # the TPU-native sweet spot is C=1024 (lane tiles); sweep the reference's
     # smaller C values through the XLA path for comparison
-    if args.quick:
+    if args.bs_only:
+        cs = [(1024, 1)]
+        bss = [1, 4, 8, 16, 32]
+        precs = ["sp"]
+    elif args.quick:
         cs = [(1024, 1)]
         bss = [1, 8]
         precs = ["sp"]
@@ -80,6 +89,9 @@ def main() -> int:
                 "us_per_iter": round(us, 2),
                 "device_beta": round(beta, 4),
                 "platform": res.platform,
+                # which kernel actually ran — records where the VMEM
+                # x-block budget flips SpMMV to windowed mode
+                "impl": res.impl,
             }
             rows.append(row)
             f.write(json.dumps(row) + "\n")

@@ -15,11 +15,20 @@ pinning cpu via jax.config dies with UNAVAILABLE, like a CLI run during
 a tunnel outage.
 """
 
+import os
+
 import jax
 from jax._src import xla_bridge as xb
 
 
 def _broken_factory(*args, **kwargs):
+    if os.environ.get("USPMV_FAKEAXON_HANG"):
+        # the REAL axon outage mode: init blocks forever (the 900 s
+        # probes never return) — exercised by the hang-bound tests
+        import time
+
+        while True:
+            time.sleep(3600)
     raise RuntimeError(
         "UNAVAILABLE: TPU backend setup/compile error "
         "(simulated tunnel outage)"

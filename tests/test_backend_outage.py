@@ -87,6 +87,45 @@ def test_bench_py_emits_parseable_json_on_outage(tmp_path):
     assert "metric" in rec and "vs_baseline" in rec
 
 
+def test_devices_with_retry_hang_bounded(monkeypatch):
+    """In-process: a HANGING backend init (the real axon outage mode —
+    jax.devices() blocks forever in the plugin) is bounded by
+    USPMV_TPU_INIT_TIMEOUT_S and surfaces as the typed error, not an
+    eternal block."""
+    import time
+
+    monkeypatch.setenv("USPMV_TPU_INIT_TIMEOUT_S", "0.3")
+
+    import uspmv_tpu.runtime.backend as be
+
+    def hang_devices(platform=None):
+        time.sleep(3600)
+
+    import jax
+
+    monkeypatch.setattr(jax, "devices", hang_devices)
+    t0 = time.monotonic()
+    with pytest.raises(be.BackendUnavailableError) as ei:
+        be.devices_with_retry()
+    assert time.monotonic() - t0 < 10
+    assert "init hang" in str(ei.value)
+
+
+def test_bench_py_emits_parseable_json_on_hang(tmp_path):
+    """Subprocess: bench.py against a HANGING fake tunnel must emit the
+    parseable record within the hang bound (this session reproduced the
+    unbounded version eating a 600 s timeout)."""
+    env = _outage_env(tmp_path)
+    env["USPMV_FAKEAXON_HANG"] = "1"
+    env["USPMV_TPU_INIT_TIMEOUT_S"] = "3"
+    p = _run([sys.executable, os.path.join(REPO, "bench.py")],
+             env, timeout=120)
+    assert p.returncode == 0, p.stderr[-2000:]
+    rec = json.loads(p.stdout.strip().splitlines()[-1])
+    assert rec["error"] == "tpu-unavailable"
+    assert "init hang" in rec["detail"]
+
+
 def test_devices_with_retry_bounded(tmp_path, monkeypatch):
     """In-process: retry budget respected and the error is typed."""
     monkeypatch.setenv("USPMV_TPU_INIT_ATTEMPTS", "3")

@@ -267,6 +267,54 @@ def test_colwalk_native_parity(rand_scs):
         np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
 
 
+def test_tstream_cell_cap_spill_xla_term():
+    """Cell-capacity capping (round 4): one overfull (column-block x
+    chunk) cell must not set the global phase-1 capacity — the cap comes
+    from the actual cell-size distribution, and the overflow (an
+    output-sparse handful) runs as the direct XLA gather/scatter-add
+    term (spill_coo), not a chunked spill kernel. End-to-end exact."""
+    from uspmv_tpu.ops.packer import PRODUCT_WINDOW_ROWS
+    from uspmv_tpu.runtime.tstream import (
+        SPILL_XLA_MAX,
+        build_tstream,
+        spmv_tstream,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 20_480
+    # uniform-random background (small Poisson cells) ...
+    rows = rng.integers(0, n, size=8 * n)
+    cols = rng.integers(0, n, size=8 * n)
+    # ... plus one hot cell: ~400 elements in chunk 0 x column-block 0,
+    # spread over distinct columns so no single column is a hub
+    W = PRODUCT_WINDOW_ROWS * LANES
+    hot_r = rng.integers(0, 1024, size=400)
+    hot_c = rng.permutation(min(W, n))[:400]
+    rows = np.concatenate([rows, hot_r])
+    cols = np.concatenate([cols, hot_c])
+    vals = rng.standard_normal(rows.size)
+    order = np.argsort(rows, kind="stable")
+    from uspmv_tpu.formats.coo import MtxData
+
+    m = MtxData.from_arrays(
+        rows[order], cols[order], vals[order], n_rows=n, n_cols=n,
+        is_sorted=True,
+    )
+    m2, _ = split_heavy_rows(m, 32)
+    scs = convert_to_scs(m2.astype(np.float32), 1024, 1)
+    dev = build_tstream(scs)
+    assert dev.spill_coo is not None, "hot cell must overflow into the XLA term"
+    assert dev.spill is None
+    assert int(dev.spill_coo[0].shape[0]) <= SPILL_XLA_MAX
+    # accounting covers every element across packed + spilled
+    assert dev.nnz == scs.nnz
+    x = rng.standard_normal(scs.n_rows_padded).astype(np.float32)
+    y = np.asarray(spmv_tstream(dev, x, interpret=True))
+    ref = scs.spmv_reference(x)
+    err = np.abs(y - ref[: scs.n_rows_padded]).max() / np.abs(ref).max()
+    assert err < 1e-5, err
+
+
 def test_hub_peel_powerlaw_tstream():
     """Hub-column peeling (VERDICT r3 item 3b): power-law hub columns —
     which used to disqualify the 3-pass mode via the spill gate and drop

@@ -20,11 +20,14 @@ invocation dies on the first flap.  This module is the chokepoint fix:
 Knobs (all env-overridable so tests can run the failure path fast):
   USPMV_TPU_INIT_ATTEMPTS  (default 4)
   USPMV_TPU_INIT_BACKOFF_S (default "5,15,30" — seconds between attempts)
+  USPMV_TPU_INIT_TIMEOUT_S (default 300 — per-attempt hang bound)
 """
 
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
 from typing import List, Optional
 
@@ -67,21 +70,67 @@ def _retry_plan() -> tuple[int, List[float]]:
     return max(attempts, 1), delays
 
 
+def _devices_bounded(platform: Optional[str], timeout_s: float):
+    """One ``jax.devices(platform)`` call with a wall-clock hang bound.
+
+    The real axon outage mode is a HANG, not an error — ``jax.devices()``
+    blocks forever inside the tunnel plugin's init (verified live in
+    round 3/4; the 900 s probe never returns).  An exception-only retry
+    wrapper never regains control, so the query runs in a daemon thread
+    and a missed join deadline raises.  The stuck thread keeps holding
+    the backend-init lock, so a hang is terminal for the process — the
+    caller should emit its record and exit (process teardown reaps the
+    daemon thread)."""
+    import jax
+
+    out: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def _query() -> None:
+        try:
+            out.put(
+                ("ok", jax.devices(platform) if platform
+                 else jax.devices())
+            )
+        except Exception as e:  # RuntimeError / JaxRuntimeError
+            out.put(("err", e))
+
+    t = threading.Thread(target=_query, daemon=True,
+                         name="uspmv-backend-init")
+    t.start()
+    try:
+        kind, val = out.get(timeout=timeout_s)
+    except queue.Empty:
+        raise TimeoutError(
+            f"backend init still blocked after {timeout_s:.0f}s "
+            "(tunnel down? the axon plugin hangs rather than erroring)"
+        )
+    if kind == "err":
+        raise val
+    return val
+
+
 def devices_with_retry(platform: Optional[str] = None):
-    """``jax.devices(platform)`` with bounded retry-with-backoff.
+    """``jax.devices(platform)`` with bounded retry-with-backoff AND a
+    per-attempt hang bound.
 
     A transient tunnel flap (jax.errors.JaxRuntimeError UNAVAILABLE, as
     captured in BENCH_r03.json) is retried over ~1–2 minutes; a
-    persistent outage raises :class:`BackendUnavailableError` whose
+    persistent outage — including the init HANG that ate this session's
+    600 s bench timeout — raises :class:`BackendUnavailableError` whose
     message is short and stable enough to put in a JSON record.
     """
-    import jax
-
+    timeout_s = float(os.environ.get("USPMV_TPU_INIT_TIMEOUT_S", "300"))
     attempts, delays = _retry_plan()
     last: Optional[Exception] = None
     for i in range(attempts):
         try:
-            return jax.devices(platform) if platform else jax.devices()
+            return _devices_bounded(platform, timeout_s)
+        except TimeoutError as e:
+            # the hung thread still holds the backend-init lock; any
+            # retry would just block behind it — fail now, parseably
+            raise BackendUnavailableError(
+                f"accelerator backend unavailable (init hang): {e}"
+            ) from e
         except Exception as e:  # RuntimeError / JaxRuntimeError
             last = e
             if i + 1 >= attempts:

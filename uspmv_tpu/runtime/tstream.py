@@ -70,6 +70,11 @@ B_WINDOW_ROWS = 32
 # 3-pass saves over the masked mixed mode (measured: PowerLawCols 3.5 vs
 # 10.9 GFLOP/s mixed), so the mode only engages when spills are rare.
 MAX_SPILL_FRACTION = 0.02
+# Output-sparse spill sets don't suit chunked-output kernels (measured:
+# 10k scattered spills became 9.7k one-element colwalk tiles). Up to
+# this many spills run as a direct XLA gather + scatter-add term
+# (~9 ns/index, i.e. ~9 us at 1k — noise next to the 3-pass kernels).
+SPILL_XLA_MAX = 2000
 
 
 @jax.tree_util.register_dataclass
@@ -96,6 +101,8 @@ class TStreamDev:
     # columns that overflow phase-1's capped cells (VERDICT r3 item 3b)
     hub: object = None  # DeviceLaneTiles over hub columns, or None
     hub_pos: object = None  # int32 device positions of hub x values
+    # small spill sets as raw (rows, cols, vals) for the XLA term
+    spill_coo: object = None
 
     def stream_bytes(self) -> int:
         total = self.p1.stream_bytes() + self.b1.stream_bytes()
@@ -157,6 +164,38 @@ def _pad_product_nb(pt):
     )
 
 
+def _cell_cap_factor(scs: ScsData) -> float:
+    """s_cap_factor for pack_product_tiles, derived from the exact
+    (column-block x chunk) cell-size distribution: the smallest capacity
+    whose total overflow stays within half the XLA spill budget, never
+    above the packer's legacy 4x-mean bound."""
+    from ..ops.packer import PRODUCT_WINDOW_ROWS
+
+    W = PRODUCT_WINDOW_ROWS * LANES
+    keep = ~scs.padding_mask()
+    cols = scs.col_idxs[keep].astype(np.int64)
+    chunk, _j, _r = scs.element_coords()
+    chunk = chunk[keep].astype(np.int64)
+    n_cols = max(int(cols.max(initial=0)) + 1, 1)
+    NB = (n_cols + W - 1) // W
+    cell = (cols // W) * scs.n_chunks + chunk
+    csize = np.bincount(cell, minlength=NB * scs.n_chunks)
+    lam = max(float(csize.mean()), 1.0)
+    cmax = int(csize.max(initial=1))
+    budget = min(SPILL_XLA_MAX // 2, max(int(2e-4 * cols.size), 64))
+    hist = np.bincount(csize, minlength=cmax + 2).astype(np.int64)
+    s = np.arange(hist.size, dtype=np.int64)
+    tail_cnt = np.cumsum(hist[::-1])[::-1]  # cells with size >= cap
+    tail_sum = np.cumsum((hist * s)[::-1])[::-1]
+    caps = np.arange(hist.size, dtype=np.int64)
+    # overflow(cap) = sum over cells>cap of (size - cap)
+    overflow = np.zeros(hist.size, dtype=np.int64)
+    overflow[:-1] = tail_sum[1:] - caps[:-1] * tail_cnt[1:]
+    ok = np.flatnonzero(overflow <= budget)
+    cap = int(ok[0]) if ok.size else cmax
+    return float(min(max(cap, 16) / lam, 4.0))
+
+
 def build_tstream(
     scs: ScsData, dtype=np.float32, device=None
 ) -> TStreamDev:
@@ -170,7 +209,16 @@ def build_tstream(
         raise LaneTileBudgetError(
             "transpose-stream requires the whole x in VMEM"
         )
-    pt = pack_product_tiles(scs, dtype=dtype)
+    # Cap phase-1 cells from the ACTUAL cell-size distribution instead of
+    # the max cell: the global capacity was set by the tail of the
+    # fullest of ~60k cells (measured s_pad 104 vs mean 59.5 on
+    # RandomImbalanced-500k; capped: 80 at p1 fill 0.71), diluting the
+    # product grid everything downstream streams and gathers. The cap is
+    # the smallest capacity whose overflow fits the small-spill XLA-term
+    # budget, so tightening never turns into a spill-kernel regression
+    # (a Poisson-quantile guess under-capped overdispersed cells 16%).
+    cap_factor = _cell_cap_factor(scs)
+    pt = pack_product_tiles(scs, dtype=dtype, s_cap_factor=cap_factor)
     n_el = pt.nnz_packed + pt.spill_rows.size
     if pt.spill_rows.size > MAX_SPILL_FRACTION * max(n_el, 1):
         raise LaneTileBudgetError(
@@ -284,7 +332,16 @@ def build_tstream(
             raise LaneTileBudgetError("B' fold matrix exceeded budgets")
 
     spill_dev = None
-    if pt.spill_rows.size:
+    spill_coo = None
+    if pt.spill_rows.size and pt.spill_rows.size <= SPILL_XLA_MAX:
+        spill_coo = (
+            jnp.asarray(pt.spill_rows.astype(np.int32)),
+            jnp.asarray(pt.spill_cols.astype(np.int32)),
+            jnp.asarray(pt.spill_vals.astype(dtype)),
+        )
+        if device is not None:
+            spill_coo = tuple(jax.device_put(a, device) for a in spill_coo)
+    elif pt.spill_rows.size:
         sm = MtxData.from_arrays(
             pt.spill_rows, pt.spill_cols, pt.spill_vals,
             n_rows=scs.n_rows_padded, n_cols=scs.n_rows_padded,
@@ -316,6 +373,7 @@ def build_tstream(
         n_rows_padded=scs.n_rows_padded,
         fold_region=region,
         nnz=n_el,
+        spill_coo=spill_coo,
     )
 
 
@@ -362,6 +420,14 @@ def spmv_tstream(
         else:
             ys = spmv_lane_tiles(dev.spill, x, interpret=interpret)
         y = y + ys[:n_real]
+    if dev.spill_coo is not None:
+        # the handful of cell-cap overflows: one small gather + one
+        # sorted scatter-add (~9 ns/index) — cheaper than any chunked
+        # kernel for an output-sparse set
+        sr, sc, sv = dev.spill_coo
+        y = y.at[sr].add(
+            (sv.astype(y.dtype) * x[sc].astype(y.dtype)), mode="drop"
+        )
     if dev.hub is not None:
         # hub term: the k heaviest columns' x values, gathered to one
         # compact VMEM-resident window; the hub matrix's column locality
