@@ -220,6 +220,13 @@ def build_tstream(
     cap_factor = _cell_cap_factor(scs)
     pt = pack_product_tiles(scs, dtype=dtype, s_cap_factor=cap_factor)
     n_el = pt.nnz_packed + pt.spill_rows.size
+    if (pt.spill_rows.size > MAX_SPILL_FRACTION * max(n_el, 1)
+            and cap_factor < 4.0):
+        # a tighter slab also removes k-slot freedom the greedy uses to
+        # dodge gather-pin conflicts; if THAT spill source now trips the
+        # gate, fall back to the legacy bound before giving up the mode
+        pt = pack_product_tiles(scs, dtype=dtype, s_cap_factor=4.0)
+        n_el = pt.nnz_packed + pt.spill_rows.size
     if pt.spill_rows.size > MAX_SPILL_FRACTION * max(n_el, 1):
         raise LaneTileBudgetError(
             f"phase-1 spills {pt.spill_rows.size}/{n_el} elements; the "
