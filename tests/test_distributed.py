@@ -667,22 +667,98 @@ def test_distributed_ap_dp_sp_sharded():
 
 
 def test_distributed_mixed_tiles_zero_locality():
-    """Sharded zero-column-locality matrices pack mixed tiles per shard
-    and stack them under shard_map (round 2 dropped this whole class to
-    the XLA path when sharded)."""
+    """Sharded zero-column-locality matrices at bs > 1 pack MIXED tiles
+    per shard and stack them under shard_map (round 2 dropped this whole
+    class to the XLA path when sharded; at bs = 1 the faster stacked
+    transpose-stream takes over since round 4 — see
+    test_distributed_tstream_zero_locality)."""
     from uspmv_tpu.io.generators import random_imbalanced as _ri
 
     mtx = _ri(30_000, 8, seed=1)
     A = mtx.to_scipy().astype(np.float64)
-    x = np.random.default_rng(2).standard_normal(mtx.n_rows)
+    x = np.random.default_rng(2).standard_normal((mtx.n_rows, 2))
     for overlap in (True, False):
         cfg = Config(
             kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
             backend="cpu", n_shards=4, seg_method="seg-nnz",
             mixed_tiles=True, overlap_comm=overlap,
+            block_vec_size=2, vector_layout="rowwise",
         )
         op = DistributedSpmvOperator.from_mtx(cfg, mtx)
         assert op.impl_name() == "pallas-mixed-tiles"
         y = op.to_host(op.spmv(op.make_x(x)))
         err = np.abs(y - A @ x).max() / np.abs(A @ x).max()
         assert err < 1e-5, (overlap, err)
+
+
+def test_distributed_tstream_zero_locality():
+    """Sharded zero-column-locality at bs=1 runs the stacked 3-pass
+    transpose-stream (round 4): per-shard balance perm + ordinary halo
+    plan + one SPMD program over stacked product/B'/fold structs.
+    Single-chip tstream beat mixed tiles 11.7 vs ~5 GFLOP/s on this
+    class (BASELINE.md r3); before this the sharded path only had the
+    mixed tier. Reference contract: row-partitioned SpMV under MPI
+    (mpi_funcs.hpp:424-622) + CRS graceful degradation on gather-hostile
+    matrices (kernels.hpp:22-63)."""
+    from uspmv_tpu.io.generators import random_imbalanced as _ri
+    from uspmv_tpu.runtime.tstream import TStreamDev
+
+    mtx = _ri(30_000, 8, seed=1)
+    A = mtx.to_scipy().astype(np.float64)
+    x = np.random.default_rng(2).standard_normal(mtx.n_rows)
+    cfg = Config(
+        kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
+        backend="cpu", n_shards=4, seg_method="seg-nnz",
+        mixed_tiles=True,
+    )
+    op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+    assert op.impl_name() == "pallas-tstream"
+    assert isinstance(next(iter(op.devs.values())), TStreamDev)
+    ref = A @ x
+    y = op.to_host(op.spmv(op.make_x(x)))
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+    # solve mode: halo exchange + 3-pass kernel + x<->y swap per rev
+    _, ys = op.solve(op.make_x(x), 2)
+    ys = op.to_host(ys)
+    ref2 = A @ (A @ x)
+    assert (np.linalg.norm(ys - ref2) / np.linalg.norm(ref2)) < 1e-5
+
+
+def test_distributed_tstream_monster_rows_and_spills():
+    """The stacked tstream's auxiliary terms: rows > 2048 nnz pre-split
+    per shard and folded by TStreamDev.split_scatter inside shard_fn;
+    cell-cap overflows ride the stacked XLA spill_coo term; shards
+    without splits stack via dummy B'-virtual/fold structs."""
+    from uspmv_tpu.formats.coo import MtxData
+    from uspmv_tpu.io.generators import random_imbalanced as _ri
+    from uspmv_tpu.runtime.tstream import TStreamDev
+
+    m = _ri(24_000, 8, seed=3)
+    rng = np.random.default_rng(9)
+    extra_r, extra_c = [], []
+    for row in (100, 18_000):  # monster rows in shards 0 and 3
+        cols = rng.permutation(24_000)[:5000]
+        extra_r.append(np.full(5000, row))
+        extra_c.append(cols)
+    I = np.concatenate([m.I] + extra_r)
+    J = np.concatenate([m.J] + extra_c)
+    V = rng.standard_normal(I.size)
+    o = np.argsort(I, kind="stable")
+    mtx = MtxData.from_arrays(
+        I[o], J[o], V[o], n_rows=24_000, n_cols=24_000, is_sorted=True
+    )
+    A = mtx.to_scipy().astype(np.float64)
+    x = np.random.default_rng(2).standard_normal(mtx.n_rows)
+    cfg = Config(
+        kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
+        backend="cpu", n_shards=4, seg_method="seg-rows",
+        mixed_tiles=True,
+    )
+    op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+    assert op.impl_name() == "pallas-tstream"
+    dev = next(iter(op.devs.values()))
+    assert isinstance(dev, TStreamDev)
+    assert dev.split_scatter is not None  # the >2048 rows really split
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5

@@ -355,8 +355,9 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
     G = devs[0].chunks_per_group
     WR = max(d.window_rows for d in devs)
     df64 = devs[0].df64
+    unit = devs[0].unit_vals
     assert all(d.tiles_per_step == tps and d.chunks_per_group == G
-               and d.df64 == df64 and not d.unit_vals for d in devs)
+               and d.df64 == df64 and d.unit_vals == unit for d in devs)
     # a narrow-packed shard running under a wide stacked kernel reads
     # window_rows further into x; extend the padded extent accordingly
     x_rows_total = max(
@@ -378,9 +379,15 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
 
     vals, src, meta, sg, sf = [], [], [], [], []
     for d in devs:
-        nv = 2 * NT if df64 else (NT // 2 if vp else NT)
-        vals.append(pad_to(d.vals, nv))
-        src.append(pad_to(d.src16, NT // 2))
+        if unit:
+            # value stream is the pinned (2, J, L) placeholder; padding
+            # tiles must set bit 15 (int16 sign) = invalid slot
+            vals.append(np.asarray(d.vals))
+            src.append(pad_to(d.src16, NT // 2, fill=np.int16(-32768)))
+        else:
+            nv = 2 * NT if df64 else (NT // 2 if vp else NT)
+            vals.append(pad_to(d.vals, nv))
+            src.append(pad_to(d.src16, NT // 2))
         meta.append(pad_to(d.meta, NT))  # zero meta = += 0 into slot cl=0
         g = list(np.asarray(d.step_group))
         f = list(np.asarray(d.step_first))
@@ -439,6 +446,7 @@ def stack_device_lane_tiles(devs: list) -> DeviceLaneTiles:
         nnz=sum(d.nnz for d in devs),
         fill=float(np.mean([d.fill for d in devs])),
         df64=df64,
+        unit_vals=unit,
     )
 
 
@@ -1004,6 +1012,33 @@ def build_device_product_tiles_t(pt, dtype=np.float32, device=None):
         fill=pt.fill,
         window_rows=pt.window_rows,
         x_rows_total=x_rows,
+    )
+
+
+def stack_device_product_tiles_t(devs: list) -> DeviceProductTilesT:
+    """Stack per-shard DeviceProductTilesT on a leading 'rows' axis for
+    shard_map execution. Unlike lane tiles, no tile padding happens here:
+    the caller (runtime/tstream.build_tstream_shards) forces a COMMON
+    grid geometry (NB, s_pad, n_rows_padded) across shards so every
+    array already has identical shape."""
+    d0 = devs[0]
+    assert all(
+        d.m_blocks == d0.m_blocks and d.s8 == d0.s8 and d.NB == d0.NB
+        and d.NCg_pad == d0.NCg_pad and d.window_rows == d0.window_rows
+        for d in devs
+    ), "product-tile shards must share forced grid geometry"
+    return DeviceProductTilesT(
+        vals=jnp.asarray(np.stack([np.asarray(d.vals) for d in devs])),
+        src16=jnp.asarray(np.stack([np.asarray(d.src16) for d in devs])),
+        meta=jnp.asarray(np.stack([np.asarray(d.meta) for d in devs])),
+        m_blocks=d0.m_blocks,
+        s8=d0.s8,
+        NB=d0.NB,
+        NCg_pad=d0.NCg_pad,
+        nnz=sum(d.nnz for d in devs),
+        fill=float(np.mean([d.fill for d in devs])),
+        window_rows=d0.window_rows,
+        x_rows_total=max(d.x_rows_total for d in devs),
     )
 
 

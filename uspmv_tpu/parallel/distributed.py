@@ -361,6 +361,21 @@ class DistributedSpmvOperator:
             if config.mixed_tiles is not None
             else _window_fill_estimate(mtx) < MIXED_EST_CUTOFF
         )
+        # zero-locality tier 1, sharded (round 4): the stacked 3-pass
+        # transpose-stream — single-chip tstream beat mixed tiles 11.7 vs
+        # ~5 GFLOP/s on RandomImbalanced (BASELINE.md r3), and before
+        # this the sharded path could only run the mixed tier. Falls
+        # through to stacked mixed tiles on any budget refusal.
+        if (mixed_dist and not config.is_ap
+                and config.block_vec_size == 1
+                and config.comm_mode != "allgather"
+                and config.split_rows_threshold >= 0):
+            op = cls._try_tstream_dist(
+                config, mtx, ws, gperm, stats, C_log, sigma_log,
+                n_dropped,
+            )
+            if op is not None:
+                return op
         if lane:
             from ..ops.packer import (
                 auto_tiles_per_step,
@@ -600,6 +615,142 @@ class DistributedSpmvOperator:
         op._place()
         return op
 
+    @classmethod
+    def _try_tstream_dist(cls, config, mtx, ws, gperm, stats, C_log,
+                          sigma_log, n_dropped):
+        """Stacked transpose-stream for sharded zero-locality matrices.
+
+        Mirrors the single-chip runtime/operator._try_tstream: per shard,
+        rows > 2048 nnz pre-split (folded by a scatter-add inside
+        shard_fn via TStreamDev.split_scatter), then a LOAD-BALANCING
+        row permutation (rows dealt round-robin by descending nnz over
+        the COMMON padded height n_loc, so every shard shares the chunk
+        grid), SCS conversion, the ordinary halo plan (which composes
+        local columns with the balance perm exactly as with any shard
+        perm), and runtime/tstream.build_tstream_shards. Returns None
+        when any budget refuses — the caller continues with the stacked
+        mixed-tile path. Reference contract: row-partitioned dp/sp SpMV
+        under MPI (/root/reference/code/mpi_funcs.hpp:424-622) with the
+        CRS kernels' graceful degradation on gather-hostile matrices
+        (kernels.hpp:22-63)."""
+        from ..formats.coo import split_heavy_rows
+        from ..formats.scs import logical_elements, sigma_window_perm
+        from ..ops.packer import CHUNK_ROWS
+        from ..ops.pallas_scs import LaneTileBudgetError, lane_tiles_fit
+        from ..runtime.tstream import build_tstream_shards
+
+        R = config.n_shards
+        p = config.ap_precisions[0]
+        locals_, parents, nreals = [], [], []
+        for r in range(R):
+            local = mtx.slice_rows(int(ws[r]), int(ws[r + 1]))
+            nreals.append(local.n_rows)
+            m_r, par = split_heavy_rows(local, 2048)
+            locals_.append(m_r)
+            parents.append(par)
+        n_loc = max(
+            ((m.n_rows + CHUNK_ROWS - 1) // CHUNK_ROWS) * CHUNK_ROWS
+            for m in locals_
+        )
+        scs_list: List[ScsData] = []
+        shard_perms: List[np.ndarray] = []
+        vps, pps = [], []
+        logical_le = 0
+        for r, m_r in enumerate(locals_):
+            counts = np.bincount(m_r.I, minlength=n_loc).astype(np.int64)
+            nch = n_loc // CHUNK_ROWS
+            order = np.argsort(-counts, kind="stable")
+            bperm = np.empty(n_loc, dtype=np.int32)
+            i = np.arange(n_loc, dtype=np.int64)
+            bperm[order] = (
+                (i % nch) * CHUNK_ROWS + i // nch
+            ).astype(np.int32)
+            # pad the local COO to the common height so every shard
+            # shares the chunk grid (required by the stacked kernels)
+            m_pad = MtxData.from_arrays(
+                m_r.I, m_r.J, m_r.values,
+                n_rows=n_loc, n_cols=m_r.n_cols, is_sorted=True,
+            )
+            scs_r = convert_to_scs(
+                m_pad.astype(dtype_for(p)), CHUNK_ROWS, 1,
+                fixed_permutation=bperm,
+            )
+            scs_list.append(scs_r)
+            shard_perms.append(
+                scs_r.old_to_new_idx[: int(ws[r + 1] - ws[r])]
+            )
+            par = parents[r]
+            if par is not None:
+                virt = np.arange(nreals[r], m_r.n_rows, dtype=np.int64)
+                vps.append(bperm[virt])
+                pps.append(bperm[par])
+            else:
+                vps.append(np.zeros(0, np.int32))
+                pps.append(np.zeros(0, np.int32))
+            # logical (user C, sigma) element accounting for beta
+            c_orig = np.bincount(
+                mtx.slice_rows(int(ws[r]), int(ws[r + 1])).I,
+                minlength=nreals[r],
+            ).astype(np.int64)
+            lp, _ = sigma_window_perm(c_orig, nreals[r], C_log, sigma_log)
+            logical_le += logical_elements(c_orig, lp, C_log)
+
+        hp = build_halo_plan(scs_list, ws)
+        plan = _PrecPlan(
+            H=max(hp.H, n_loc),
+            offsets=list(hp.offsets),
+            gathers=[jnp.asarray(hp.send_gather_idx[d]) for d in hp.offsets],
+            scatters=[jnp.asarray(hp.recv_scatter_idx[d]) for d in hp.offsets],
+        )
+        if not lane_tiles_fit(plan.H + 1, 1):
+            return None
+        Ls = max((v.size for v in vps), default=0)
+        split_scatter = None
+        if Ls:
+            vp = np.zeros((R, Ls), np.int32)
+            pp = np.full((R, Ls), n_loc, np.int32)
+            for r in range(R):
+                k = vps[r].size
+                vp[r, :k] = vps[r]
+                pp[r, :k] = pps[r]
+            split_scatter = (vp, pp)
+        try:
+            ts = build_tstream_shards(
+                scs_list, dtype=dtype_for(p), split_scatter=split_scatter
+            )
+        except LaneTileBudgetError:
+            return None
+
+        devices = _mesh_devices(config, R)
+        mesh = Mesh(devices, ("rows",))
+        retiled = C_log != CHUNK_ROWS or sigma_log != 1
+        op = cls(
+            config=config,
+            mesh=mesh,
+            n_rows=mtx.n_rows,
+            n_rows_padded=n_loc,
+            work_sharing=ws,
+            scs={p: scs_list},
+            devs={p: ts},
+            devs_halo={p: None},
+            plans={p: plan},
+            halo_plans={p: hp},
+            shard_perms=shard_perms,
+            global_perm=gperm,
+            matrix_stats=stats,
+            nnz=mtx.nnz,
+            n_dropped=n_dropped,
+            fold_dev=None,
+            fold_region=(0, 0),
+            logical_beta=(
+                {p: mtx.nnz / logical_le if logical_le else 1.0}
+                if retiled else None
+            ),
+            retiled=retiled,
+        )
+        op._place()
+        return op
+
     def _place(self):
         """Shard the stacked arrays over the mesh."""
         sh = NamedSharding(self.mesh, P("rows"))
@@ -679,9 +830,11 @@ class DistributedSpmvOperator:
         [R, n_loc(, bs)] -> [R, n_loc(, bs)]."""
         cfg = self.config
         from ..ops.pallas_scs import DeviceLaneTiles
+        from ..runtime.tstream import TStreamDev as _TS
 
         lane = any(
-            isinstance(d, DeviceLaneTiles) for d in self.devs.values()
+            isinstance(d, (DeviceLaneTiles, _TS))
+            for d in self.devs.values()
         )
         if cfg.kernel_format == "crs" and not lane:
             # literal CRS execution (-no_retile / XLA fallback)
@@ -691,9 +844,13 @@ class DistributedSpmvOperator:
             # Pallas kernel (Mosaic iff the mesh devices are TPUs, interpret
             # elsewhere), stacked DeviceScs falls through to the XLA path
             from ..ops.pallas_scs import spmv_pallas
+            from ..runtime.tstream import TStreamDev, spmv_tstream
 
             interpret = self.mesh.devices.flat[0].platform != "tpu"
-            impl = partial(spmv_pallas, interpret=interpret)
+            if any(isinstance(d, TStreamDev) for d in self.devs.values()):
+                impl = partial(spmv_tstream, interpret=interpret)
+            else:
+                impl = partial(spmv_pallas, interpret=interpret)
         precisions = list(self.devs)
         n_loc = self.n_rows_padded
         V0, region = self.fold_region
@@ -921,7 +1078,10 @@ class DistributedSpmvOperator:
 
     def impl_name(self) -> str:
         from ..ops.pallas_scs import DeviceLaneTiles, DeviceMixedTiles
+        from ..runtime.tstream import TStreamDev
 
+        if any(isinstance(d, TStreamDev) for d in self.devs.values()):
+            return "pallas-tstream"
         if any(isinstance(d, DeviceMixedTiles) for d in self.devs.values()):
             return "pallas-mixed-tiles"
         if any(isinstance(d, DeviceLaneTiles) for d in self.devs.values()):

@@ -103,6 +103,11 @@ class TStreamDev:
     hub_pos: object = None  # int32 device positions of hub x values
     # small spill sets as raw (rows, cols, vals) for the XLA term
     spill_coo: object = None
+    # distributed >2048-nnz row pre-split: (virt_pos, parent_pos) int32
+    # arrays in the EXECUTION row order; y[parent] += y[virt] after all
+    # terms (the single-chip path folds these at the operator level via
+    # split_plan instead)
+    split_scatter: object = None
 
     def stream_bytes(self) -> int:
         total = self.p1.stream_bytes() + self.b1.stream_bytes()
@@ -164,6 +169,43 @@ def _pad_product_nb(pt):
     )
 
 
+def _pad_product_grid(pt, NB_c: int, s_pad_c: int):
+    """Pad a shard's product grid to the COMMON (NB, s_pad) geometry so
+    stacked shards share one kernel program (generalizes
+    :func:`_pad_product_nb`). Extra k-slots and column blocks are
+    all-zero tiles; element positions remap to the widened slabs."""
+    import dataclasses as _dc
+
+    if NB_c == pt.NB and s_pad_c == pt.s_pad:
+        return pt
+    assert NB_c >= pt.NB and s_pad_c >= pt.s_pad and s_pad_c % 8 == 0
+    s8 = pt.s_pad // 8
+    s8c = s_pad_c // 8
+    v = pt.vals.reshape(pt.NB, pt.NCg, s8, TILE_J, LANES)
+    s = pt.src_tab.reshape(pt.NB, pt.NCg, s8, TILE_J, LANES)
+    pad = ((0, NB_c - pt.NB), (0, 0), (0, s8c - s8), (0, 0), (0, 0))
+    v = np.pad(v, pad)
+    s = np.pad(s, pad)
+    nt = NB_c * pt.NCg * s8c
+    w = (
+        np.arange(nt) // (pt.NCg * s8c) * pt.window_rows
+    ).astype(np.int32)
+    cb = pt.elem_pos // pt.s_pad
+    k = pt.elem_pos - cb * pt.s_pad
+    c = cb // pt.NB
+    b = cb - c * pt.NB
+    elem_pos = (c * NB_c + b) * s_pad_c + k
+    return _dc.replace(
+        pt,
+        vals=v.reshape(nt, TILE_J, LANES),
+        src_tab=s.reshape(nt, TILE_J, LANES),
+        w_row=w,
+        NB=NB_c,
+        s_pad=s_pad_c,
+        elem_pos=elem_pos,
+    )
+
+
 def _cell_cap_factor(scs: ScsData) -> float:
     """s_cap_factor for pack_product_tiles, derived from the exact
     (column-block x chunk) cell-size distribution: the smallest capacity
@@ -196,27 +238,19 @@ def _cell_cap_factor(scs: ScsData) -> float:
     return float(min(max(cap, 16) / lam, 4.0))
 
 
-def build_tstream(
-    scs: ScsData, dtype=np.float32, device=None
-) -> TStreamDev:
-    """Build the 3-pass operator from a (column-permuted) SCS at C=1024.
-    Raises LaneTileBudgetError when the mode does not apply (x beyond the
-    VMEM budget, excessive spills, or B' windows beyond the group
-    budget)."""
-    if np.dtype(dtype) == np.float64:
-        raise LaneTileBudgetError("transpose-stream has no df64 variant")
-    if not lane_tiles_fit(scs.n_rows_padded, 1):
-        raise LaneTileBudgetError(
-            "transpose-stream requires the whole x in VMEM"
-        )
-    # Cap phase-1 cells from the ACTUAL cell-size distribution instead of
-    # the max cell: the global capacity was set by the tail of the
-    # fullest of ~60k cells (measured s_pad 104 vs mean 59.5 on
-    # RandomImbalanced-500k; capped: 80 at p1 fill 0.71), diluting the
-    # product grid everything downstream streams and gathers. The cap is
-    # the smallest capacity whose overflow fits the small-spill XLA-term
-    # budget, so tightening never turns into a spill-kernel regression
-    # (a Poisson-quantile guess under-capped overdispersed cells 16%).
+def _pack_phase1(scs: ScsData, dtype):
+    """Cap + pack the phase-1 product grid, with the legacy-cap retry and
+    the spill-fraction gate.
+
+    Cap phase-1 cells from the ACTUAL cell-size distribution instead of
+    the max cell: the global capacity was set by the tail of the
+    fullest of ~60k cells (measured s_pad 104 vs mean 59.5 on
+    RandomImbalanced-500k; capped: 80 at p1 fill 0.71), diluting the
+    product grid everything downstream streams and gathers. The cap is
+    the smallest capacity whose overflow fits the small-spill XLA-term
+    budget, so tightening never turns into a spill-kernel regression
+    (a Poisson-quantile guess under-capped overdispersed cells 16%).
+    """
     cap_factor = _cell_cap_factor(scs)
     pt = pack_product_tiles(scs, dtype=dtype, s_cap_factor=cap_factor)
     n_el = pt.nnz_packed + pt.spill_rows.size
@@ -232,17 +266,24 @@ def build_tstream(
             f"phase-1 spills {pt.spill_rows.size}/{n_el} elements; the "
             "cell layout is not paying for itself (hub-dominated matrix)"
         )
-    pt = _pad_product_nb(pt)
-    NC = pt.n_chunks
-    NPT = NC * pt.NB * pt.s_pad
-    p1 = build_device_product_tiles_t(pt, dtype=dtype, device=device)
+    return pt
 
-    # --- B': rows -> PT positions, round-robin split + aligned fold ---
-    # Pieces take STRIDED elements (j mod q) instead of consecutive column
-    # ranges: a consecutive piece's <= 8 positions are co-located in the
-    # slab, so every window sees the full slot multiplicity and bv fill
-    # collapsed to 0.035 (measured); strided pieces spread each virtual
-    # row's elements across the whole slab (~1 per window).
+
+def _bsplit_host(scs: ScsData, pt, NPT: int):
+    """B': rows -> PT positions, round-robin split + aligned fold.
+
+    Pieces take STRIDED elements (j mod q) instead of consecutive column
+    ranges: a consecutive piece's <= 8 positions are co-located in the
+    slab, so every window sees the full slot multiplicity and bv fill
+    collapsed to 0.035 (measured); strided pieces spread each virtual
+    row's elements across the whole slab (~1 per window).
+
+    Returns ``(n_real, Bre, Bvi_or_None, fold_idx_or_None)``. The real
+    and virtual halves run as SEPARATE kernels: real chunks read their
+    own contiguous PT slab (tight windows, larger groups) while virtual
+    chunks read their PARENTS' slabs, which spread ~2-4x wider — a
+    combined matrix would blow the group-window budget at the
+    real/virtual boundary (measured)."""
     n_real = scs.n_rows_padded
     ord2 = np.lexsort((pt.elem_pos, pt.elem_rows))
     r_s = pt.elem_rows[ord2]
@@ -280,16 +321,41 @@ def build_tstream(
             raise LaneTileBudgetError(
                 "B' split produced an unfoldable parent"
             )
-    # the real and virtual halves run as SEPARATE kernels: real chunks
-    # read their own contiguous PT slab (tight windows, larger groups)
-    # while virtual chunks read their PARENTS' slabs, which spread ~2-4x
-    # wider — a combined matrix would blow the group-window budget at the
-    # real/virtual boundary (measured)
     real_mask = m2.I < n_real
     Bre = MtxData.from_arrays(
         m2.I[real_mask], m2.J[real_mask], m2.values[real_mask],
         n_rows=n_real, n_cols=NPT,
     )
+    Bvi = None
+    if fold_idx is not None:
+        virt_mask = m2.I >= n_real
+        Bvi = MtxData.from_arrays(
+            m2.I[virt_mask] - n_real, m2.J[virt_mask],
+            m2.values[virt_mask], n_rows=fold_idx[2], n_cols=NPT,
+        )
+    return n_real, Bre, Bvi, fold_idx
+
+
+def build_tstream(
+    scs: ScsData, dtype=np.float32, device=None
+) -> TStreamDev:
+    """Build the 3-pass operator from a (column-permuted) SCS at C=1024.
+    Raises LaneTileBudgetError when the mode does not apply (x beyond the
+    VMEM budget, excessive spills, or B' windows beyond the group
+    budget)."""
+    if np.dtype(dtype) == np.float64:
+        raise LaneTileBudgetError("transpose-stream has no df64 variant")
+    if not lane_tiles_fit(scs.n_rows_padded, 1):
+        raise LaneTileBudgetError(
+            "transpose-stream requires the whole x in VMEM"
+        )
+    pt = _pad_product_nb(_pack_phase1(scs, dtype))
+    n_el = pt.nnz_packed + pt.spill_rows.size
+    NC = pt.n_chunks
+    NPT = NC * pt.NB * pt.s_pad
+    p1 = build_device_product_tiles_t(pt, dtype=dtype, device=device)
+
+    n_real, Bre, Bvi, fold_idx = _bsplit_host(scs, pt, NPT)
     scs_b = convert_to_scs(Bre.astype(np.float32), CHUNK_ROWS, 1)
     b1 = build_device_lane_tiles(
         scs_b, dtype=np.float32, device=device, x_len=NPT,
@@ -305,11 +371,6 @@ def build_tstream(
         from .operator import _build_fold_dev
 
         region = fold_idx[2]
-        virt_mask = m2.I >= n_real
-        Bvi = MtxData.from_arrays(
-            m2.I[virt_mask] - n_real, m2.J[virt_mask],
-            m2.values[virt_mask], n_rows=region, n_cols=NPT,
-        )
         scs_v = convert_to_scs(Bvi.astype(np.float32), CHUNK_ROWS, 1)
         # a tiny virtual part must not pay the fat-step grid quantum
         # (measured: 1.6k elements padded to 320 tiles = 5 steps of 64)
@@ -384,6 +445,204 @@ def build_tstream(
     )
 
 
+def build_tstream_shards(
+    scs_list, dtype=np.float32, split_scatter=None
+) -> TStreamDev:
+    """Stacked 3-pass operators for sharded execution — ONE SPMD program
+    over a leading 'rows' axis (parallel/distributed.py shard_map).
+
+    Every shard must share ``n_rows_padded`` (the distributed builder
+    pads local COOs to the common n_loc) and the shards' x buffers share
+    the halo-extended length, so the COMMON grid geometry (NB, s_pad,
+    NC) is forced by padding each shard's product grid
+    (:func:`_pad_product_grid`). Heterogeneous optional parts (B' virtual
+    half, fold, spills) are unified: shards without splits get harmless
+    dummy structs, and spills are stacked-XLA-term only. Raises
+    :class:`LaneTileBudgetError` when any shard refuses a budget
+    (callers fall back to stacked mixed tiles).
+
+    Reference contract: dp/sp SpMV under MPI row partitioning
+    (/root/reference/code/main.cpp:1345, mpi_funcs.hpp:424-622) makes no
+    distinction for gather-hostile matrices — CPU cachelines degrade
+    gracefully (kernels.hpp:22-63). This gives the sharded TPU path the
+    same graceful coverage the single-chip tstream mode has.
+    """
+    import math
+
+    from ..ops.packer import auto_tiles_per_step, resolve_chunks_per_group
+    from ..ops.pallas_scs import (
+        build_device_lane_tiles,
+        stack_device_lane_tiles,
+        stack_device_product_tiles_t,
+    )
+
+    if np.dtype(dtype) == np.float64:
+        raise LaneTileBudgetError("transpose-stream has no df64 variant")
+    n_loc = scs_list[0].n_rows_padded
+    if any(s.n_rows_padded != n_loc for s in scs_list):
+        raise ValueError(
+            "stacked tstream shards must share n_rows_padded "
+            "(pad local COOs to the common n_loc)"
+        )
+    for s in scs_list:
+        if not lane_tiles_fit(int(s.col_idxs.max(initial=0)) + 1, 1):
+            raise LaneTileBudgetError(
+                "a shard's halo-extended x exceeds the VMEM budget"
+            )
+    pts = [_pack_phase1(s, dtype) for s in scs_list]
+    if any(pt.spill_rows.size > SPILL_XLA_MAX for pt in pts):
+        raise LaneTileBudgetError(
+            "stacked tstream supports only XLA-term spills "
+            "(a shard spilled past the budget)"
+        )
+    s_pad_c = max(pt.s_pad for pt in pts)
+    NB_c = max(pt.NB for pt in pts)
+    g = math.gcd(s_pad_c, LANES)
+    need = LANES // g
+    NB_c = ((NB_c + need - 1) // need) * need
+    pts = [_pad_product_grid(pt, NB_c, s_pad_c) for pt in pts]
+    NC = pts[0].n_chunks
+    assert all(pt.n_chunks == NC for pt in pts)
+    NPT = NC * NB_c * s_pad_c
+    parts = [_bsplit_host(s, pt, NPT) for s, pt in zip(scs_list, pts)]
+    p1 = stack_device_product_tiles_t(
+        [build_device_product_tiles_t(pt, dtype=dtype) for pt in pts]
+    )
+
+    scs_bs = [
+        convert_to_scs(Bre.astype(np.float32), CHUNK_ROWS, 1)
+        for (_n, Bre, _bv, _fi) in parts
+    ]
+
+    def mk_b1(xbf=None):
+        return [
+            build_device_lane_tiles(
+                sb, dtype=np.float32, x_len=NPT,
+                chunks_per_group=B_CHUNKS_PER_GROUP, packer="colwalk",
+                window_rows=B_WINDOW_ROWS,
+                tiles_per_step=B_TILES_PER_STEP,
+                unit_values=True, x_block_rows_force=xbf,
+            )
+            for sb in scs_bs
+        ]
+
+    devs_b = mk_b1()
+    if any(d.x_block_rows for d in devs_b):
+        # one program, one window height (see distributed build_stack)
+        xbf = max(d.x_block_rows for d in devs_b)
+        if any(d.x_block_rows != xbf for d in devs_b):
+            devs_b = mk_b1(xbf)
+    b1 = stack_device_lane_tiles(devs_b)
+
+    region_c = max(
+        (fi[2] for (_n, _b, _v, fi) in parts if fi is not None), default=0
+    )
+    bv_dev = None
+    fold_dev = None
+    if region_c:
+        from .operator import _build_fold_dev
+
+        scs_vs = []
+        for (_n, _b, Bvi, _fi) in parts:
+            if Bvi is None:
+                # harmless dummy so split-free shards still stack: one
+                # zero-value element (invalid under unit_values)
+                Bvi = MtxData.from_arrays(
+                    np.zeros(1, np.int64), np.zeros(1, np.int64),
+                    np.zeros(1), n_rows=1, n_cols=NPT,
+                )
+            scs_vs.append(convert_to_scs(Bvi.astype(np.float32),
+                                         CHUNK_ROWS, 1))
+        tps_v = min(
+            B_TILES_PER_STEP,
+            min(auto_tiles_per_step(max(sv.n_elements // CHUNK_ROWS, 1))
+                for sv in scs_vs),
+        )
+
+        def mk_bv(cpg):
+            return [
+                build_device_lane_tiles(
+                    sv, dtype=np.float32, x_len=NPT,
+                    chunks_per_group=cpg, packer="colwalk",
+                    window_rows=B_WINDOW_ROWS, tiles_per_step=tps_v,
+                    unit_values=True,
+                )
+                for sv in scs_vs
+            ]
+
+        try:
+            devs_v = mk_bv(B_VIRT_CHUNKS_PER_GROUP)
+        except LaneTileBudgetError:
+            devs_v = mk_bv(B_VIRT_CHUNKS_PER_GROUP // 2)
+        bv_dev = stack_device_lane_tiles(devs_v)
+
+        cpg_f = resolve_chunks_per_group(n_loc // CHUNK_ROWS)
+        folds = []
+        for (_n, _b, _v, fi) in parts:
+            if fi is not None:
+                e, s_, _r = fi
+                q = np.flatnonzero(e != s_)
+            else:
+                q = np.zeros(0, dtype=np.int64)
+            if q.size:
+                rows = np.repeat(q.astype(np.int64), 2)
+                cols = np.stack([s_[q], e[q]], axis=1).reshape(-1)
+                vals = np.tile(np.array([-1.0, 1.0]), q.size)
+            else:  # harmless dummy so split-free shards still stack
+                rows = np.zeros(1, dtype=np.int64)
+                cols = np.zeros(1, dtype=np.int64)
+                vals = np.zeros(1)
+            F = MtxData.from_arrays(
+                rows, cols.astype(np.int64), vals,
+                n_rows=n_loc, n_cols=region_c,
+            )
+            scs_f = convert_to_scs(F.astype(np.float32), CHUNK_ROWS, 1)
+            folds.append(build_device_lane_tiles(
+                scs_f, dtype=np.float32, tiles_per_step=8,
+                chunks_per_group=cpg_f, x_len=region_c,
+                x_window=False, window_rows=8,
+            ))
+        fold_dev = stack_device_lane_tiles(folds)
+
+    spill_coo = None
+    L = max(pt.spill_rows.size for pt in pts)
+    if L:
+        R = len(pts)
+        # pad rows to n_loc: out of y's range, dropped by the scatter-add
+        sr = np.full((R, L), n_loc, dtype=np.int32)
+        sc = np.zeros((R, L), dtype=np.int32)
+        sv = np.zeros((R, L), dtype=dtype)
+        for r, pt in enumerate(pts):
+            k = pt.spill_rows.size
+            sr[r, :k] = pt.spill_rows.astype(np.int32)
+            sc[r, :k] = pt.spill_cols.astype(np.int32)
+            sv[r, :k] = pt.spill_vals.astype(dtype)
+        spill_coo = (jnp.asarray(sr), jnp.asarray(sc), jnp.asarray(sv))
+
+    if split_scatter is not None:
+        split_scatter = (
+            jnp.asarray(np.asarray(split_scatter[0], dtype=np.int32)),
+            jnp.asarray(np.asarray(split_scatter[1], dtype=np.int32)),
+        )
+
+    return TStreamDev(
+        p1=p1,
+        b1=b1,
+        bv=bv_dev,
+        fold=fold_dev,
+        spill=None,
+        NB=NB_c,
+        NCg=pts[0].NCg,
+        NC=NC,
+        s_pad=s_pad_c,
+        n_rows_padded=n_loc,
+        fold_region=region_c,
+        nnz=sum(pt.nnz_packed + pt.spill_rows.size for pt in pts),
+        spill_coo=spill_coo,
+        split_scatter=split_scatter,
+    )
+
+
 def spmv_tstream(
     dev: TStreamDev, x: jax.Array, interpret: Optional[bool] = None
 ) -> jax.Array:
@@ -442,4 +701,10 @@ def spmv_tstream(
         # runs it at banded-class rates
         xh = jnp.take(x, dev.hub_pos)
         y = y + spmv_lane_tiles(dev.hub, xh, interpret=interpret)[:n_real]
+    if dev.split_scatter is not None:
+        # distributed >2048-nnz pre-split: fold virtual partials into
+        # their parents (padding entries: vp clamps to a real gather, pp
+        # is out of range and drops the add)
+        vp, pp = dev.split_scatter
+        y = y.at[pp].add(y[vp], mode="drop")
     return y.astype(x.dtype)
