@@ -724,6 +724,34 @@ def test_distributed_tstream_zero_locality():
     assert (np.linalg.norm(ys - ref2) / np.linalg.norm(ref2)) < 1e-5
 
 
+def test_distributed_tstream_hub_peel_powerlaw():
+    """Sharded power-law (dlr1-class) matrices: hub columns are peeled
+    globally into a stacked lane-tile term whose x values gather into
+    one compact VMEM window; hub x positions the residual matrix never
+    references ride the halo plan via extra_cols. The residual then
+    passes the stacked 3-pass gates instead of dropping to mixed
+    tiles."""
+    from uspmv_tpu.io.generators import powerlaw_cols
+    from uspmv_tpu.runtime.tstream import TStreamDev
+
+    mtx = powerlaw_cols(24_000, 8, seed=3)
+    A = mtx.to_scipy().astype(np.float64)
+    x = np.random.default_rng(2).standard_normal(mtx.n_rows)
+    cfg = Config(
+        kernel_format="scs", chunk_size=1024, sigma=1, value_type="sp",
+        backend="cpu", n_shards=4, seg_method="seg-nnz",
+        mixed_tiles=True,
+    )
+    op = DistributedSpmvOperator.from_mtx(cfg, mtx)
+    assert op.impl_name() == "pallas-tstream"
+    dev = next(iter(op.devs.values()))
+    assert isinstance(dev, TStreamDev)
+    assert dev.hub is not None, "hub term must engage on power-law cols"
+    y = op.to_host(op.spmv(op.make_x(x)))
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
 def test_distributed_tstream_monster_rows_and_spills():
     """The stacked tstream's auxiliary terms: rows > 2048 nnz pre-split
     per shard and folded by TStreamDev.split_scatter inside shard_fn;

@@ -641,10 +641,54 @@ class DistributedSpmvOperator:
 
         R = config.n_shards
         p = config.ap_precisions[0]
-        locals_, parents, nreals = [], [], []
+
+        # --- global hub-column detection (the single-chip recipe,
+        # runtime/operator._try_tstream): the heaviest columns overflow
+        # phase-1's capped cells and would trip the spill gate; peel them
+        # into a per-shard lane-tile term whose x values gather into one
+        # compact VMEM window. Hub x positions that the residual matrix
+        # alone would not fetch ride the halo plan via extra_cols.
+        HUB_MAX_COLS = 4096
+        HUB_MIN_FRAC = 0.04
+        counts_col = np.bincount(mtx.J, minlength=mtx.n_cols)
+        mean_c = max(mtx.nnz / max(mtx.n_cols, 1), 1.0)
+        cand = np.flatnonzero(counts_col > 8 * mean_c)
+        hub_cols = None
+        if cand.size:
+            cand = cand[np.argsort(-counts_col[cand], kind="stable")]
+            cand = cand[:HUB_MAX_COLS]
+            if counts_col[cand].sum() >= HUB_MIN_FRAC * mtx.nnz:
+                hub_cols = np.sort(cand)
+        hub_rank = None
+        if hub_cols is not None:
+            # a shard with nothing but hub elements cannot build a
+            # residual tstream — disable the peel up front
+            for r in range(R):
+                lj = mtx.slice_rows(int(ws[r]), int(ws[r + 1])).J
+                if lj.size and np.isin(lj, hub_cols).all():
+                    hub_cols = None
+                    break
+        if hub_cols is not None:
+            hub_rank = np.full(mtx.n_cols, -1, dtype=np.int64)
+            hub_rank[hub_cols] = np.arange(hub_cols.size, dtype=np.int64)
+
+        locals_, parents, nreals, hub_coos = [], [], [], []
         for r in range(R):
             local = mtx.slice_rows(int(ws[r]), int(ws[r + 1]))
             nreals.append(local.n_rows)
+            hub_coo = None
+            if hub_rank is not None:
+                hmask = hub_rank[local.J] >= 0
+                if hmask.any():
+                    hub_coo = (local.I[hmask], hub_rank[local.J[hmask]],
+                               local.values[hmask])
+                    local = MtxData.from_arrays(
+                        local.I[~hmask], local.J[~hmask],
+                        local.values[~hmask],
+                        n_rows=local.n_rows, n_cols=local.n_cols,
+                        is_sorted=True,
+                    )
+            hub_coos.append(hub_coo)
             m_r, par = split_heavy_rows(local, 2048)
             locals_.append(m_r)
             parents.append(par)
@@ -655,6 +699,11 @@ class DistributedSpmvOperator:
         scs_list: List[ScsData] = []
         shard_perms: List[np.ndarray] = []
         vps, pps = [], []
+        scs_hs: List[Optional[ScsData]] = []
+        hub_refs: List[Optional[np.ndarray]] = []
+        K_pad = 0
+        if hub_cols is not None:
+            K_pad = ((hub_cols.size + 127) // 128) * 128
         logical_le = 0
         for r, m_r in enumerate(locals_):
             counts = np.bincount(m_r.I, minlength=n_loc).astype(np.int64)
@@ -687,6 +736,21 @@ class DistributedSpmvOperator:
             else:
                 vps.append(np.zeros(0, np.int32))
                 pps.append(np.zeros(0, np.int32))
+            if hub_coos[r] is not None:
+                hI, hJ, hV = hub_coos[r]
+                hub_mtx = MtxData.from_arrays(
+                    hI, hJ, hV, n_rows=n_loc, n_cols=K_pad,
+                ).sort_by_row()
+                scs_hs.append(convert_to_scs(
+                    hub_mtx.astype(dtype_for(p)), CHUNK_ROWS, 1,
+                    fixed_permutation=bperm,
+                ))
+                # the GLOBAL hub columns this shard's hub term reads —
+                # folded into the halo plan's needed set (extra_cols)
+                hub_refs.append(hub_cols[np.unique(hJ)])
+            else:
+                scs_hs.append(None)
+                hub_refs.append(None)
             # logical (user C, sigma) element accounting for beta
             c_orig = np.bincount(
                 mtx.slice_rows(int(ws[r]), int(ws[r + 1])).I,
@@ -695,7 +759,10 @@ class DistributedSpmvOperator:
             lp, _ = sigma_window_perm(c_orig, nreals[r], C_log, sigma_log)
             logical_le += logical_elements(c_orig, lp, C_log)
 
-        hp = build_halo_plan(scs_list, ws)
+        hp = build_halo_plan(
+            scs_list, ws,
+            extra_cols=hub_refs if hub_cols is not None else None,
+        )
         plan = _PrecPlan(
             H=max(hp.H, n_loc),
             offsets=list(hp.offsets),
@@ -720,6 +787,72 @@ class DistributedSpmvOperator:
             )
         except LaneTileBudgetError:
             return None
+
+        if hub_cols is not None:
+            # stacked hub term: each shard's hub x values gather into one
+            # compact VMEM window (x positions local or halo, fetched via
+            # extra_cols above); ranks a shard never references point at
+            # slot 0 and are never multiplied
+            import dataclasses as _dc
+
+            from ..ops.packer import (
+                auto_tiles_per_step,
+                resolve_chunks_per_group,
+            )
+            from ..ops.pallas_scs import (
+                build_device_lane_tiles,
+                stack_device_lane_tiles,
+            )
+
+            K = hub_cols.size
+            pos = np.zeros((R, K_pad), dtype=np.int32)
+            for r in range(R):
+                lo, hi = int(ws[r]), int(ws[r + 1])
+                loc = (hub_cols >= lo) & (hub_cols < hi)
+                row = np.zeros(K, dtype=np.int32)
+                row[loc] = scs_list[r].old_to_new_idx[hub_cols[loc] - lo]
+                urc = hp.halo_cols[r]
+                rem = hub_cols[~loc]
+                idx = np.searchsorted(urc, rem)
+                found = idx < urc.size
+                found[found] = urc[idx[found]] == rem[found]
+                rempos = np.zeros(rem.size, dtype=np.int32)
+                rempos[found] = (
+                    scs_list[r].n_rows_padded + idx[found]
+                ).astype(np.int32)
+                row[~loc] = rempos
+                pos[r, :K] = row
+            hub_scs = []
+            for s_h in scs_hs:
+                if s_h is None:  # harmless dummy so hub-free shards stack
+                    dummy = MtxData.from_arrays(
+                        np.zeros(1, np.int64), np.zeros(1, np.int64),
+                        np.zeros(1), n_rows=1, n_cols=K_pad,
+                    )
+                    s_h = convert_to_scs(
+                        dummy.astype(dtype_for(p)), CHUNK_ROWS, 1
+                    )
+                hub_scs.append(s_h)
+            tps_h = min(
+                auto_tiles_per_step(max(s.n_elements // CHUNK_ROWS, 1))
+                for s in hub_scs
+            )
+            cpg_h = resolve_chunks_per_group(n_loc // CHUNK_ROWS)
+            try:
+                hub_dev = stack_device_lane_tiles([
+                    build_device_lane_tiles(
+                        s, dtype=dtype_for(p), x_len=K_pad,
+                        window_rows=32, tiles_per_step=tps_h,
+                        chunks_per_group=cpg_h,
+                    )
+                    for s in hub_scs
+                ])
+            except LaneTileBudgetError:
+                return None
+            ts = _dc.replace(
+                ts, hub=hub_dev, hub_pos=jnp.asarray(pos),
+                nnz=ts.nnz + sum(s.nnz for s in hub_scs),
+            )
 
         devices = _mesh_devices(config, R)
         mesh = Mesh(devices, ("rows",))
