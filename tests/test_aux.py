@@ -97,6 +97,38 @@ def test_hubbard_ranpot_and_guards():
         hubbard(n_sites=20, n_fermions=10)
 
 
+def test_free_fermion_chain_spectrum():
+    """Ground energy of the fixed-filling sector equals the sum of the
+    n_fermions lowest single-particle energies of the open chain,
+    eps_j = -2t cos(j pi / (n+1)) — the free-fermion exactness the
+    ScaMaC FreeFermionChain model is defined by."""
+    from uspmv_tpu.io.scamac import free_fermion_chain
+
+    n, nf, t = 8, 4, 1.3
+    m = free_fermion_chain(n_sites=n, n_fermions=nf, t=t)
+    A = m.to_scipy().toarray()
+    ev = np.linalg.eigvalsh(A)
+    sp = -2.0 * t * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    assert abs(ev[0] - np.sort(sp)[:nf].sum()) < 1e-10
+
+
+def test_harmonic_shifted_oscillator_spectrum():
+    """H = w b+b + l (b+ + b) has exact eigenvalues w*n - l^2/w; the
+    truncated Fock matrix reproduces the low end to rounding."""
+    from uspmv_tpu.io.scamac import harmonic
+
+    w, lam = 1.0, 0.5
+    m = harmonic(n_bos=60, omega=w, lambda_=lam)
+    ev = np.linalg.eigvalsh(m.to_scipy().toarray())
+    want = w * np.arange(5) - lam**2 / w
+    assert np.abs(ev[:5] - want).max() < 1e-8
+    # spec-string routing
+    m2 = scamac_generate("Harmonic,n_bos=16,omega=2.0,lambda=0.1")
+    assert m2.n_rows == 16
+    m3 = scamac_generate("FreeFermionChain,n_sites=6,n_fermions=3,ranpot=1.0")
+    assert m3.n_rows == 20  # C(6,3)
+
+
 def test_scamac_spec_parsing():
     m = scamac_generate("Anderson,Lx=3,Ly=3,Lz=2,disorder=4.0,seed=9")
     assert m.n_rows == 18

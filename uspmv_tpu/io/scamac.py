@@ -224,6 +224,65 @@ def hubbard(n_sites: int = 10, n_fermions: int = 5, t: float = 1.0,
     ).sort_by_row()
 
 
+def free_fermion_chain(n_sites: int = 16, n_fermions: int = 8,
+                       t: float = 1.0, ranpot: float = 0.0,
+                       seed: int = 1, pbc: int = 0) -> MtxData:
+    """Spinless free fermions on a chain at fixed filling (ScaMaC
+    FreeFermionChain; reference bridge utilities.hpp:1585-1752):
+
+        H = -t sum_<ij> (c+_i c_j + h.c.) + sum_i eps_i n_i,
+        eps_i uniform in [-ranpot, ranpot]
+
+    Basis: the C(n_sites, n_fermions) occupation sector, Jordan-Wigner
+    signs on the periodic wrap bond. Quadratic Hamiltonian, but the
+    many-body matrix is the sparse benchmark object."""
+    if not (0 <= n_fermions <= n_sites):
+        raise ValueError("freefermionchain: need 0 <= n_fermions <= n_sites")
+    if n_sites > 28:
+        raise ValueError("freefermionchain: n_sites > 28 exceeds memory")
+    states = _sector_states(n_sites, n_fermions)
+    dim = states.size
+    hi, hj, hv = _sector_hops(states, n_sites, t, pbc)
+    I, J, V = [hi], [hj], [hv]
+    if ranpot:
+        rng = np.random.default_rng(seed)
+        eps = rng.uniform(-ranpot, ranpot, n_sites)
+        pot = ((states[:, None] >> np.arange(n_sites)[None, :]) & 1) @ eps
+        rows = np.arange(dim, dtype=np.int64)
+        I.append(rows)
+        J.append(rows)
+        V.append(pot)
+    if not any(a.size for a in I):
+        rows = np.arange(dim, dtype=np.int64)
+        I, J, V = [rows], [rows], [np.zeros(dim)]
+    return MtxData.from_arrays(
+        np.concatenate(I), np.concatenate(J), np.concatenate(V),
+        n_rows=dim, n_cols=dim,
+    ).sort_by_row()
+
+
+def harmonic(n_bos: int = 1000, omega: float = 1.0,
+             lambda_: float = 0.5) -> MtxData:
+    """Single shifted harmonic oscillator in the truncated Fock basis
+    (ScaMaC Harmonic; reference bridge utilities.hpp:1585-1752):
+
+        H = omega * b+ b + lambda * (b+ + b),  dim = n_bos
+
+    Tridiagonal with diag omega*n and off-diagonals lambda*sqrt(n+1) —
+    the textbook sanity matrix of the ScaMaC catalogue."""
+    if n_bos < 1:
+        raise ValueError("harmonic: n_bos >= 1 required")
+    n = np.arange(n_bos, dtype=np.int64)
+    diag_v = omega * n.astype(np.float64)
+    off = lambda_ * np.sqrt(n[:-1] + 1.0)
+    I = np.concatenate([n, n[:-1], n[1:]])
+    J = np.concatenate([n, n[1:], n[:-1]])
+    V = np.concatenate([diag_v, off, off])
+    return MtxData.from_arrays(
+        I, J, V, n_rows=n_bos, n_cols=n_bos
+    ).sort_by_row()
+
+
 def spin_chain_xy(L: int = 14, Jx: float = 1.0, Jy: float = 1.0,
                   Bz: float = 0.0, seed: int = 1, pbc: int = 0) -> MtxData:
     """Anisotropic XY chain over the full 2^L basis (ScaMaC SpinChainXY):
@@ -350,6 +409,19 @@ _MODELS = {
         L=int(kw.pop("l", 14)), Jx=float(kw.pop("jx", 1.0)),
         Jy=float(kw.pop("jy", 1.0)), Bz=float(kw.pop("bz", 0.0)),
         seed=int(kw.pop("seed", 1)), pbc=int(kw.pop("pbc", 0)), **kw,
+    ),
+    "freefermionchain": lambda kw: free_fermion_chain(
+        n_sites=int(kw.pop("n_sites", 16)),
+        n_fermions=int(kw.pop("n_fermions", 8)),
+        t=float(kw.pop("t", 1.0)), ranpot=float(kw.pop("ranpot", 0.0)),
+        seed=int(kw.pop("seed", 1)),
+        pbc=int(kw.pop("pbc", kw.pop("boundary_conditions", "open")
+                        in (1, "periodic"))), **kw,
+    ),
+    "harmonic": lambda kw: harmonic(
+        n_bos=int(kw.pop("n_bos", 1000)),
+        omega=float(kw.pop("omega", 1.0)),
+        lambda_=float(kw.pop("lambda", 0.5)), **kw,
     ),
     "bosehubbard": lambda kw: bose_hubbard(
         n_sites=int(kw.pop("n_sites", 8)),
