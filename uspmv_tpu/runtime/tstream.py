@@ -206,6 +206,30 @@ def _pad_product_grid(pt, NB_c: int, s_pad_c: int):
     )
 
 
+def _spread_slab(pt):
+    """Lay cells out at an ODD-s8 stride (gcd(s_pad, 128) = 8).
+
+    B' gather lanes are ``position mod 128`` with position = b*s_pad + k;
+    cells are only ~60% full (k clusters low), so with gcd(s_pad, 128) =
+    32 (e.g. s_pad 96) the occupied band repeats at just 4 lane offsets
+    and elements pile onto half the lanes (measured cv 0.26). The
+    two-step gather pins ONE sublane per (tile row, lane), so phase 3's
+    packers fight pin conflicts exactly on those popular lanes. An odd
+    s8 gives 16 offsets (cv 0.01) — colwalk packs the SAME B' in 1.37x
+    fewer tiles (2816 -> 2048 on RandomImbalanced-120k). Cell capacity
+    is unchanged (extra slots are zero padding); NB pads to a multiple
+    of 16 so the PT flat view stays a free reshape."""
+    import math
+
+    s8 = pt.s_pad // 8
+    if s8 % 2 == 0:
+        s8 += 1
+    s_pad_c = 8 * s8
+    need = LANES // math.gcd(s_pad_c, LANES)
+    NB_c = ((pt.NB + need - 1) // need) * need
+    return _pad_product_grid(pt, NB_c, s_pad_c)
+
+
 def _cell_cap_factor(scs: ScsData) -> float:
     """s_cap_factor for pack_product_tiles, derived from the exact
     (column-block x chunk) cell-size distribution: the smallest capacity
@@ -349,7 +373,7 @@ def build_tstream(
         raise LaneTileBudgetError(
             "transpose-stream requires the whole x in VMEM"
         )
-    pt = _pad_product_nb(_pack_phase1(scs, dtype))
+    pt = _spread_slab(_pack_phase1(scs, dtype))
     n_el = pt.nnz_packed + pt.spill_rows.size
     NC = pt.n_chunks
     NPT = NC * pt.NB * pt.s_pad
@@ -496,6 +520,8 @@ def build_tstream_shards(
             "(a shard spilled past the budget)"
         )
     s_pad_c = max(pt.s_pad for pt in pts)
+    if (s_pad_c // 8) % 2 == 0:  # odd-s8 lane spreading (_spread_slab)
+        s_pad_c += 8
     NB_c = max(pt.NB for pt in pts)
     g = math.gcd(s_pad_c, LANES)
     need = LANES // g
