@@ -112,6 +112,31 @@ def main() -> int:
             if rc != 0:
                 n_fail += 1
                 print(f"ERROR rc={rc} {os.path.basename(path)} {extra}")
+    # round-4 paths: the zero-locality tiers (transpose-stream with hub
+    # peel / cell-cap spills; mixed tiles at bs > 1) through the same
+    # solve+validate harness — sharded when --shards > 1 (the stacked
+    # tstream / stacked mixed tiles)
+    zl_runs = [
+        ("RandomImbalanced,20000,8",
+         ["-c", "1024", "-s", "1", "-sp", "-mixed_tiles", "1"]),
+        ("PowerLawCols,20000,8",
+         ["-c", "1024", "-s", "1", "-sp", "-mixed_tiles", "1"]),
+        ("RandomImbalanced,20000,8",
+         ["-c", "1024", "-s", "1", "-sp", "-mixed_tiles", "1",
+          "-block_vec_size", "2", "-layout", "rowwise"]),
+    ]
+    for spec, extra in zl_runs:
+        argv = [spec, "scs", "-mode", "s", "-rev", "2", "-validate", "1",
+                "-mtx_out", out_dir, "-n_shards", str(args.shards)] + extra
+        n_runs += 1
+        try:
+            rc = cli.main(argv)
+        except Exception as e:  # noqa: BLE001
+            rc = 3
+            print(f"EXCEPTION {spec} {extra}: {e}")
+        if rc != 0:
+            n_fail += 1
+            print(f"ERROR rc={rc} {spec} {extra}")
     if args.multihost:
         # 2-process cluster sweep (reference validate_multi_proc.sh):
         # every config runs as two real subprocesses wired by

@@ -80,21 +80,48 @@ class ScsData:
         return rows
 
     def element_coords(self):
-        """(chunk, j, i) of every flat element, vectorized."""
+        """(chunk, j, i) of every flat element, vectorized.
+
+        O(n_elements) with a searchsorted — prefer :meth:`nonpad_index`
+        for anything per-REAL-element: at C=1024 with heavy rows,
+        n_elements can be hundreds of times nnz (every chunk pads to its
+        longest row), and this method cost minutes where nonpad_index
+        costs milliseconds (measured 140 s at 200k rows)."""
         cp = self.chunk_ptrs.astype(np.int64)
         e = np.arange(self.n_elements, dtype=np.int64)
         chunk = np.searchsorted(cp, e, side="right") - 1
         off = e - cp[chunk]
         return chunk, off // self.C, off % self.C
 
+    def nonpad_index(self):
+        """(flat_idx, perm_row) of every NON-padding element, O(nnz).
+
+        flat positions of row r (permuted space) are
+        ``chunk_ptrs[c] + j*C + (r % C)`` for j < row_counts_new[r] —
+        enumerated directly from the per-row counts, never touching the
+        padded extent."""
+        if self.row_counts_new is None:
+            raise ValueError("row_counts_new not recorded for this ScsData")
+        cnt = self.row_counts_new.astype(np.int64)
+        rows = np.repeat(
+            np.arange(cnt.size, dtype=np.int64), cnt
+        )
+        # j index within each row: 0..cnt[r]-1 via the cumsum trick
+        ends = np.cumsum(cnt)
+        j = np.arange(int(ends[-1]) if cnt.size else 0, dtype=np.int64)
+        j -= np.repeat(ends - cnt, cnt)
+        base = self.chunk_ptrs.astype(np.int64)[rows // self.C] + rows % self.C
+        return base + j * self.C, rows
+
     def padding_mask(self) -> np.ndarray:
         """True at structural zero-padding elements (j beyond the row's
         nnz count)."""
         if self.row_counts_new is None:
             raise ValueError("row_counts_new not recorded for this ScsData")
-        chunk, j, i = self.element_coords()
-        rows = chunk * self.C + i
-        return j >= self.row_counts_new[rows]
+        idx, _rows = self.nonpad_index()
+        mask = np.ones(self.n_elements, dtype=bool)
+        mask[idx] = False
+        return mask
 
     def to_dense(self) -> np.ndarray:
         """Dense (n_rows, n_cols) reconstruction in original row order."""

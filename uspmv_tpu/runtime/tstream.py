@@ -238,10 +238,9 @@ def _cell_cap_factor(scs: ScsData) -> float:
     from ..ops.packer import PRODUCT_WINDOW_ROWS
 
     W = PRODUCT_WINDOW_ROWS * LANES
-    keep = ~scs.padding_mask()
-    cols = scs.col_idxs[keep].astype(np.int64)
-    chunk, _j, _r = scs.element_coords()
-    chunk = chunk[keep].astype(np.int64)
+    idx, rows = scs.nonpad_index()
+    cols = scs.col_idxs[idx].astype(np.int64)
+    chunk = rows // scs.C
     n_cols = max(int(cols.max(initial=0)) + 1, 1)
     NB = (n_cols + W - 1) // W
     cell = (cols // W) * scs.n_chunks + chunk
