@@ -126,7 +126,7 @@ USPMV_API const char* uspmv_last_error() { return g_error.c_str(); }
 // Bumped whenever an exported signature changes; the ctypes loader
 // refuses to bind a library whose version differs (a stale .so with the
 // old float* pack_fetch would corrupt memory silently).
-USPMV_API int64_t uspmv_abi_version() { return 4; }
+USPMV_API int64_t uspmv_abi_version() { return 5; }
 
 // Reads a MatrixMarket coordinate file. Returns a handle (or null on error;
 // see uspmv_last_error). Mirrors uspmv_tpu/io/mmio.py:read_mtx.
@@ -394,10 +394,21 @@ USPMV_API void uspmv_scs_fetch(const ScsHandle* s, int32_t* chunk_ptrs,
   memcpy(chunk_ptrs, s->chunk_ptrs.data(), s->chunk_ptrs.size() * 4);
   memcpy(chunk_lengths, s->chunk_lengths.data(), s->chunk_lengths.size() * 4);
   memcpy(col_idxs, s->col_idxs.data(), s->col_idxs.size() * 4);
-  memcpy(values, s->values.data(), s->values.size() * 8);
+  if (values) memcpy(values, s->values.data(), s->values.size() * 8);
   memcpy(old_to_new, s->old_to_new.data(), s->old_to_new.size() * 4);
   memcpy(new_to_old, s->new_to_old.data(), s->new_to_old.size() * 4);
   memcpy(row_counts_new, s->row_counts_new.data(), s->row_counts_new.size() * 4);
+}
+
+// Dtype-aware value fetch: the padded value array can be hundreds of
+// times nnz (every chunk pads to its longest row), and fetching it as
+// f64 then casting in numpy cost ~40% of a large tstream build (3.2 GB
+// f64 buffer + astype copy at RandomImbalanced-500k). Casting during
+// the copy keeps one pass and no intermediate.
+USPMV_API void uspmv_scs_fetch_vals_f32(const ScsHandle* s, float* values) {
+  const double* src = s->values.data();
+  const int64_t n = (int64_t)s->values.size();
+  for (int64_t i = 0; i < n; ++i) values[i] = (float)src[i];
 }
 
 USPMV_API void uspmv_scs_free(ScsHandle* s) { delete s; }

@@ -33,6 +33,7 @@ _i64 = ctypes.c_int64
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _i64p = ctypes.POINTER(ctypes.c_int64)
 _f64p = ctypes.POINTER(ctypes.c_double)
+_f32p = ctypes.POINTER(ctypes.c_float)
 
 
 def _try_build() -> bool:
@@ -64,7 +65,7 @@ def _try_build() -> bool:
         return False
 
 
-_ABI_VERSION = 4  # must match uspmv_abi_version() in native/uspmv_host.cpp
+_ABI_VERSION = 5  # must match uspmv_abi_version() in native/uspmv_host.cpp
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -92,6 +93,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.uspmv_scs_fetch.argtypes = [
         ctypes.c_void_p, _i32p, _i32p, _i32p, _f64p, _i32p, _i32p, _i32p,
     ]
+    lib.uspmv_scs_fetch_vals_f32.argtypes = [ctypes.c_void_p, _f32p]
     lib.uspmv_scs_free.argtypes = [ctypes.c_void_p]
     lib.uspmv_pack_lane_tiles.restype = ctypes.c_void_p
     lib.uspmv_pack_lane_tiles.argtypes = [
@@ -249,19 +251,29 @@ def convert_to_scs_native(mtx, C: int, sigma: int, dtype=None,
         chunk_ptrs = np.empty(n_chunks.value + 1, dtype=np.int32)
         chunk_lengths = np.empty(n_chunks.value, dtype=np.int32)
         col_idxs = np.empty(n_elems.value, dtype=np.int32)
-        values = np.empty(n_elems.value, dtype=np.float64)
+        out_dtype = np.dtype(dtype if dtype is not None
+                             else mtx.values.dtype)
+        # the padded value array can be ~100-400x nnz; for f32 targets
+        # cast DURING the copy (uspmv_scs_fetch_vals_f32) instead of
+        # fetching a second full-size f64 buffer and astype-ing it
+        # (measured ~40% of a 500k-row tstream build)
+        f32_fast = out_dtype == np.float32
+        values = np.empty(
+            n_elems.value, dtype=np.float32 if f32_fast else np.float64
+        )
         old_to_new = np.empty(n_rows.value, dtype=np.int32)
         new_to_old = np.empty(n_pad.value, dtype=np.int32)
         row_counts = np.empty(n_pad.value, dtype=np.int32)
         lib.uspmv_scs_fetch(
             h, _ptr_i32(chunk_ptrs), _ptr_i32(chunk_lengths),
-            _ptr_i32(col_idxs), values.ctypes.data_as(_f64p),
+            _ptr_i32(col_idxs),
+            None if f32_fast else values.ctypes.data_as(_f64p),
             _ptr_i32(old_to_new), _ptr_i32(new_to_old), _ptr_i32(row_counts),
         )
+        if f32_fast:
+            lib.uspmv_scs_fetch_vals_f32(h, values.ctypes.data_as(_f32p))
     finally:
         lib.uspmv_scs_free(h)
-
-    out_dtype = dtype if dtype is not None else mtx.values.dtype
     return ScsData(
         C=int(C),
         sigma=int(sigma),
@@ -273,7 +285,8 @@ def convert_to_scs_native(mtx, C: int, sigma: int, dtype=None,
         chunk_ptrs=chunk_ptrs,
         chunk_lengths=chunk_lengths,
         col_idxs=col_idxs,
-        values=values.astype(out_dtype),
+        values=values if values.dtype == out_dtype
+        else values.astype(out_dtype),
         old_to_new_idx=old_to_new,
         new_to_old_idx=new_to_old,
         n_cols=mtx.n_cols,
