@@ -126,7 +126,7 @@ USPMV_API const char* uspmv_last_error() { return g_error.c_str(); }
 // Bumped whenever an exported signature changes; the ctypes loader
 // refuses to bind a library whose version differs (a stale .so with the
 // old float* pack_fetch would corrupt memory silently).
-USPMV_API int64_t uspmv_abi_version() { return 5; }
+USPMV_API int64_t uspmv_abi_version() { return 6; }
 
 // Reads a MatrixMarket coordinate file. Returns a handle (or null on error;
 // see uspmv_last_error). Mirrors uspmv_tpu/io/mmio.py:read_mtx.
@@ -970,12 +970,20 @@ struct ProductHandle {
 
 }  // namespace
 
+// values may arrive as f64 or f32 (vals_f32 flag): the padded value
+// array is ~100-400x nnz for the tstream intermediate, and casting it
+// to f64 on the Python side cost ~26 s at 200k rows (ABI v6).
 USPMV_API ProductHandle* uspmv_pack_product_tiles(
     int64_t n_chunks, int64_t n_rows_padded, const int32_t* chunk_ptrs,
     const int32_t* chunk_lengths, const int32_t* col_idxs,
-    const double* values, const int32_t* row_counts_new,
+    const void* values_p, int32_t vals_f32, const int32_t* row_counts_new,
     double s_cap_factor) {
   (void)n_rows_padded;
+  const double* vals_d = static_cast<const double*>(values_p);
+  const float* vals_s = static_cast<const float*>(values_p);
+  auto VAL = [&](int64_t e) -> double {
+    return vals_f32 ? (double)vals_s[e] : vals_d[e];
+  };
   const int64_t kWrows = 32;  // PRODUCT_WINDOW_ROWS
   const int64_t W = kWrows * kLanes;
 
@@ -997,7 +1005,7 @@ USPMV_API ProductHandle* uspmv_pack_product_tiles(
         const int64_t e = base + k * kChunkRows + r;
         const int32_t col = col_idxs[e];
         if (col + 1 > n_cols) n_cols = col + 1;
-        elems.push_back(Elem{0, col, c * kChunkRows + r, values[e]});
+        elems.push_back(Elem{0, col, c * kChunkRows + r, VAL(e)});
       }
   }
   const int64_t NB = (n_cols + W - 1) / W;

@@ -65,7 +65,7 @@ def _try_build() -> bool:
         return False
 
 
-_ABI_VERSION = 5  # must match uspmv_abi_version() in native/uspmv_host.cpp
+_ABI_VERSION = 6  # must match uspmv_abi_version() in native/uspmv_host.cpp
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -119,7 +119,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.uspmv_pack_product_tiles.restype = ctypes.c_void_p
     lib.uspmv_pack_product_tiles.argtypes = [
-        _i64, _i64, _i32p, _i32p, _i32p, _f64p, _i32p, ctypes.c_double,
+        _i64, _i64, _i32p, _i32p, _i32p, ctypes.c_void_p, ctypes.c_int32,
+        _i32p, ctypes.c_double,
     ]
     lib.uspmv_product_sizes.argtypes = [
         ctypes.c_void_p, _i64p, _i64p, _i64p, _i64p, _i64p, _i64p,
@@ -365,11 +366,18 @@ def pack_product_tiles_native(scs, dtype, s_cap_factor=4.0):
     cp = np.ascontiguousarray(scs.chunk_ptrs, dtype=np.int32)
     cl = np.ascontiguousarray(scs.chunk_lengths, dtype=np.int32)
     ci = np.ascontiguousarray(scs.col_idxs, dtype=np.int32)
-    vals = np.ascontiguousarray(scs.values, dtype=np.float64)
+    # the padded value array is ~100-400x nnz for the tstream
+    # intermediate: pass f32 through and cast element-wise in C++
+    # instead of materializing a second full-size f64 copy
+    vf32 = scs.values.dtype == np.float32
+    vals = np.ascontiguousarray(
+        scs.values, dtype=np.float32 if vf32 else np.float64
+    )
     rc = np.ascontiguousarray(scs.row_counts_new, dtype=np.int32)
     h = lib.uspmv_pack_product_tiles(
         scs.n_chunks, scs.n_rows_padded, _ptr_i32(cp), _ptr_i32(cl),
-        _ptr_i32(ci), vals.ctypes.data_as(_f64p), _ptr_i32(rc),
+        _ptr_i32(ci), vals.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(1 if vf32 else 0), _ptr_i32(rc),
         float(s_cap_factor),
     )
     if not h:

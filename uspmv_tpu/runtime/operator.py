@@ -802,11 +802,17 @@ class SpmvOperator:
         i = np.arange(n_pad, dtype=np.int64)
         bperm[order] = ((i % nch) * CHUNK_ROWS + i // nch).astype(np.int32)
 
+        # symmetric column permutation composed at the COO level (O(nnz))
+        # instead of permute_scs_cols on the padded SCS, whose element
+        # array is ~100-400x nnz here (measured 22.8 s at 200k rows)
+        m_perm = MtxData.from_arrays(
+            mtx.I, bperm[mtx.J], mtx.values,
+            n_rows=mtx.n_rows, n_cols=n_pad, is_sorted=True,
+        )
         scs_t = convert_to_scs(
-            mtx.astype(dtype_for(prec)), CHUNK_ROWS, 1,
+            m_perm.astype(dtype_for(prec)), CHUNK_ROWS, 1,
             fixed_permutation=bperm,
         )
-        permute_scs_cols(scs_t, bperm)
         device = resolve_device(config)
         try:
             ts = build_tstream(scs_t, dtype=dtype_for(prec), device=device)
