@@ -875,10 +875,9 @@ class DistributedSpmvOperator:
             n_dropped=n_dropped,
             fold_dev=None,
             fold_region=(0, 0),
-            logical_beta=(
-                {p: mtx.nnz / logical_le if logical_le else 1.0}
-                if retiled else None
-            ),
+            # always logical: the balance-permuted intermediate's raw
+            # beta reflects chunk padding the kernels never stream
+            logical_beta={p: mtx.nnz / logical_le if logical_le else 1.0},
             retiled=retiled,
         )
         op._place()
