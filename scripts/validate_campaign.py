@@ -27,7 +27,10 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true", help="reduced sweep")
     ap.add_argument("--matrices", nargs="*", default=None)
     ap.add_argument("--shards", type=int, default=1)
-    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    # default cpu: this is the oracle-correctness campaign (the reference
+    # validates against CPU MKL, validate.sh); --platform tpu opts into
+    # on-chip validation when the tunnel is up
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument(
         "--multihost", action="store_true",
         help="additionally run a reduced sweep on a REAL 2-process gloo "
@@ -43,6 +46,14 @@ def main() -> int:
                 "XLA_FLAGS",
                 f"--xla_force_host_platform_device_count={args.shards}",
             )
+        # the env var is NOT enough: the axon plugin force-prepends
+        # itself over JAX_PLATFORMS, so with the tunnel down every CLI
+        # run would eat a full backend-init hang timeout (verified live
+        # this round: the sweep crawled at 300 s/run). The jax.config
+        # pin wins (runtime/backend.pin_cpu, same fix as conftest.py).
+        from uspmv_tpu.runtime.backend import pin_cpu
+
+        pin_cpu()
 
     from uspmv_tpu import cli
 
