@@ -220,6 +220,52 @@ def test_halo_plan_tiny():
     assert scs_list[0].col_idxs.max() == 4  # 3 + index of col5 in {3,5}
 
 
+def test_halo_plan_extra_cols():
+    """extra_cols (round 4, the hub-peel hook): global columns the SCS
+    no longer references are folded into the needed set, fetched by the
+    exchange, and locatable via halo_cols — verified by executing the
+    plan by hand like the reference's rank-simulated comm tests
+    (tests.cpp:282-438)."""
+    mtx = random_imbalanced(60, 5, seed=9)
+    R = 3
+    ws, _ = seg_work_sharing(mtx, R, "seg-rows")
+    scs_list = [
+        convert_to_scs(mtx.slice_rows(int(ws[r]), int(ws[r + 1])), 4, 8)
+        for r in range(R)
+    ]
+    # shard 0 additionally needs columns {41, 55} (owned by shard 2),
+    # shard 2 needs column 1 (owned by shard 0) — e.g. peeled hub cols
+    extra = [np.array([41, 55]), None, np.array([1])]
+    plan = build_halo_plan(scs_list, ws, extra_cols=extra)
+    x = np.random.default_rng(4).standard_normal(mtx.n_rows)
+    xbufs = []
+    for r in range(R):
+        xb = np.zeros(plan.H + 1)
+        lo, hi = int(ws[r]), int(ws[r + 1])
+        xb[scs_list[r].old_to_new_idx] = x[lo:hi]
+        xbufs.append(xb)
+    for d in plan.offsets:
+        for r in range(R):
+            dst = (r + d) % R
+            xbufs[dst][plan.recv_scatter_idx[d][dst]] = (
+                xbufs[r][plan.send_gather_idx[d][r]]
+            )
+    # every extra column's value must now be present in the requesting
+    # shard's buffer at the position halo_cols reports
+    for r, ex in enumerate(extra):
+        if ex is None:
+            continue
+        urc = plan.halo_cols[r]
+        for c in ex:
+            lo, hi = int(ws[r]), int(ws[r + 1])
+            if lo <= c < hi:
+                continue
+            j = int(np.searchsorted(urc, c))
+            assert urc[j] == c, "extra col missing from the needed set"
+            pos = scs_list[r].n_rows_padded + j
+            assert xbufs[r][pos] == x[c], (r, c)
+
+
 def test_halo_plan_numpy_simulation_matches_spmv():
     # execute the plan by hand in numpy and check the distributed SpMV
     mtx = random_imbalanced(60, 5, seed=9)
