@@ -340,6 +340,111 @@ def convert_to_scs(
     )
 
 
+@dataclasses.dataclass
+class CompactScs:
+    """Padded-extent-free SELL-C-sigma view for the transpose-stream
+    build: chunk geometry + per-permuted-row compact (cols, values).
+
+    At C=1024 with pareto row lengths the PADDED element count of the
+    intermediate SCS reaches ~120x nnz (448M elements on
+    RandomImbalanced-500k), and materializing/copying those arrays cost
+    ~560 s of the 644 s operator build (round-5 profile) — the arrays
+    were only ever a container the packers read back through
+    nonpad_index. This stores exactly the real elements (grouped by
+    permuted row, input order within a row — the same per-element order
+    the padded layout enumerates) plus the chunk geometry the padded
+    layout WOULD have, so beta reporting and the packers see identical
+    semantics. Reference format contract: classes_structs.hpp:1313-1470
+    (the reference always materializes; its C/sigma campaign never pads
+    pathologically because sigma-sorting exists for exactly this, while
+    the tstream tier's load-balancing permutation must not sigma-sort)."""
+
+    C: int
+    sigma: int
+    n_rows: int
+    n_rows_padded: int
+    n_chunks: int
+    n_elements: int  # what the padded layout WOULD hold (beta accounting)
+    nnz: int
+    chunk_lengths: np.ndarray  # int64 [n_chunks]
+    row_counts_new: np.ndarray  # int32 [n_rows_padded]
+    row_ptrs: np.ndarray  # int64 [n_rows_padded + 1] into cols/values
+    cols: np.ndarray  # int32 [nnz], grouped by permuted row
+    values: np.ndarray  # [nnz]
+    old_to_new_idx: np.ndarray
+    new_to_old_idx: np.ndarray
+    n_cols: int = 0
+
+    @property
+    def beta(self) -> float:
+        return self.nnz / self.n_elements if self.n_elements else 1.0
+
+    @property
+    def fill_in_percent(self) -> float:
+        return (self.n_elements / self.nnz - 1.0) * 100.0 if self.nnz else 0.0
+
+    def memory_footprint_bytes(self) -> int:
+        return int(self.values.nbytes + self.cols.nbytes
+                   + self.chunk_lengths.nbytes + self.row_ptrs.nbytes)
+
+
+def convert_to_scs_compact(
+    mtx: MtxData,
+    C: int,
+    fixed_permutation: np.ndarray,
+    dtype=None,
+) -> CompactScs:
+    """COO -> CompactScs under a caller-supplied permutation (the
+    transpose-stream balance permutation). Same row/element semantics as
+    :func:`convert_to_scs` with ``fixed_permutation`` — sigma is
+    irrelevant under a fixed permutation — without materializing the
+    padded arrays."""
+    if C < 1:
+        raise ValueError("C must be >= 1")
+    n_rows = mtx.n_rows
+    n_chunks = (n_rows + C - 1) // C
+    n_rows_padded = n_chunks * C
+    old_to_new = np.asarray(fixed_permutation, dtype=np.int32)
+    if old_to_new.shape[0] < n_rows:
+        raise ValueError("fixed_permutation shorter than n_rows")
+    old_to_new = old_to_new[:n_rows]
+
+    counts = np.zeros(n_rows_padded, dtype=np.int64)
+    if mtx.nnz:
+        counts[:n_rows] = np.bincount(mtx.I, minlength=n_rows)[:n_rows]
+    counts_new = np.zeros(n_rows_padded, dtype=np.int64)
+    counts_new[old_to_new] = counts[:n_rows]
+
+    chunk_lengths = counts_new.reshape(n_chunks, C).max(axis=1)
+    n_elements = int((chunk_lengths * C).sum())
+
+    rows_new = old_to_new[mtx.I].astype(np.int64)
+    order = np.argsort(rows_new, kind="stable")  # in-row order preserved
+    row_ptrs = np.zeros(n_rows_padded + 1, dtype=np.int64)
+    np.cumsum(counts_new, out=row_ptrs[1:])
+
+    out_dtype = dtype if dtype is not None else mtx.values.dtype
+    new_to_old = np.full(n_rows_padded, -1, dtype=np.int32)
+    new_to_old[old_to_new] = np.arange(n_rows, dtype=np.int32)
+    return CompactScs(
+        C=int(C),
+        sigma=1,
+        n_rows=n_rows,
+        n_rows_padded=n_rows_padded,
+        n_chunks=n_chunks,
+        n_elements=n_elements,
+        nnz=mtx.nnz,
+        chunk_lengths=chunk_lengths,
+        row_counts_new=counts_new.astype(np.int32),
+        row_ptrs=row_ptrs,
+        cols=np.ascontiguousarray(mtx.J[order], dtype=np.int32),
+        values=np.ascontiguousarray(mtx.values[order], dtype=out_dtype),
+        old_to_new_idx=old_to_new,
+        new_to_old_idx=new_to_old,
+        n_cols=mtx.n_cols,
+    )
+
+
 def sigma_window_perm(
     row_counts: np.ndarray, n_rows: int, C: int, sigma: int
 ) -> tuple:

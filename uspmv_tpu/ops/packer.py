@@ -837,16 +837,29 @@ def pack_product_tiles(
             raise RuntimeError("native host library unavailable")
     W = PRODUCT_WINDOW_ROWS * LANES
     n_chunks = scs.n_chunks
-    n_cols = max(int(scs.col_idxs.max(initial=0)) + 1, 1)
+    compact = hasattr(scs, "row_ptrs")  # CompactScs (formats/scs.py)
+    if compact:
+        # per-row compact (cols, values): enumerate (row, k) directly;
+        # the padded flat layout was never materialized
+        cols = scs.cols.astype(np.int64)
+        vals = scs.values.astype(dtype)
+        cnt = scs.row_counts_new.astype(np.int64)
+        rows = np.repeat(np.arange(cnt.size, dtype=np.int64), cnt)
+        ends = np.cumsum(cnt)
+        ks = np.arange(int(ends[-1]) if cnt.size else 0, dtype=np.int64)
+        ks -= np.repeat(ends - cnt, cnt)
+        chunk = rows // CHUNK_ROWS
+    else:
+        keep = ~scs.padding_mask()
+        cols = scs.col_idxs[keep].astype(np.int64)
+        vals = scs.values[keep].astype(dtype)
+        chunk, _j, r_in = scs.element_coords()
+        chunk = chunk[keep].astype(np.int64)
+        rows = (chunk * CHUNK_ROWS + r_in[keep]).astype(np.int64)
+        ks = None
+    n_cols = max(int(cols.max(initial=0)) + 1, 1)
     NB = (n_cols + W - 1) // W
     NCg = (n_chunks + 127) // 128
-
-    keep = ~scs.padding_mask()
-    cols = scs.col_idxs[keep].astype(np.int64)
-    vals = scs.values[keep].astype(dtype)
-    chunk, _j, r_in = scs.element_coords()
-    chunk = chunk[keep].astype(np.int64)
-    rows = (chunk * CHUNK_ROWS + r_in[keep]).astype(np.int64)
 
     b_of = cols // W
     cell = b_of * n_chunks + chunk  # global cell id (b-major)

@@ -508,7 +508,39 @@ class SpmvOperator:
                 config, mtx, stats, jac, equilib, C_log, sigma_log, n_real
             )
             if op is not None:
-                return op
+                gate_err = op.compile_gate()
+                if gate_err is not None and any(
+                    type(getattr(d, "p1", None)).__name__
+                    == "DeviceProductTilesT"
+                    for d in op.devs.values()
+                ):
+                    # the FUSED phase-1+2 kernel failed to lower: retry
+                    # the tier with the unfused phase 1 + XLA transpose
+                    # (the round-3 measured configuration) before giving
+                    # up a ~3x-over-mixed mode
+                    import warnings
+
+                    warnings.warn(
+                        "fused transpose-stream kernel failed to compile "
+                        f"({gate_err}); retrying unfused",
+                        stacklevel=2,
+                    )
+                    op = cls._try_tstream(
+                        config, mtx, stats, jac, equilib, C_log,
+                        sigma_log, n_real, fused=False,
+                    )
+                    gate_err = op.compile_gate() if op is not None else (
+                        "unfused tstream build refused"
+                    )
+                if gate_err is None:
+                    return op
+                import warnings
+
+                warnings.warn(
+                    "transpose-stream tier failed to compile on this "
+                    f"backend ({gate_err}); degrading to mixed tiles",
+                    stacklevel=2,
+                )
         if (C > 1 and config.split_rows_threshold >= 0
                 and not config.dp_emulation):
             th = config.split_rows_threshold
@@ -702,6 +734,7 @@ class SpmvOperator:
                                     if config.vector_layout == "rowwise"
                                     else 1),
                 )
+        pallas_tier = devs is not None
         if devs is None:
             if config.dp_emulation and device.platform != "cpu":
                 # the XLA fallback would run f64 as f32 on the axon TPU;
@@ -713,7 +746,7 @@ class SpmvOperator:
                 )
                 for p, s in scs.items()
             }
-        return cls(
+        op = cls(
             config=config,
             n_rows=n_real,
             n_rows_padded=primary.n_rows_padded,
@@ -732,10 +765,42 @@ class SpmvOperator:
             logical_beta=logical_beta,
             retiled=retiled,
         )
+        if pallas_tier:
+            gate_err = op.compile_gate()
+            if gate_err is not None:
+                # the last Pallas tier failed to lower/compile: degrade to
+                # the XLA path (always lowers) like the reference's
+                # always-runs CRS — slow beats broken
+                import dataclasses as _dc
+                import warnings
+
+                warnings.warn(
+                    "Pallas kernel tier failed to compile on this backend "
+                    f"({gate_err}); degrading to the XLA SpMV path "
+                    "(expect much lower throughput)",
+                    stacklevel=2,
+                )
+                xdev = device
+                if config.dp_emulation and device.platform != "cpu":
+                    xdev = jax.devices("cpu")[0]
+                op = _dc.replace(
+                    op,
+                    devs={
+                        p: build_device_scs(
+                            s, tile_elems=config.tile_elems, device=xdev
+                        )
+                        for p, s in scs.items()
+                    },
+                    fold_dev=None,
+                    fold_region=0,
+                    device=xdev,
+                    _jit_spmv=None,
+                )
+        return op
 
     @classmethod
     def _try_tstream(cls, config, mtx, stats, jac, equilib, C_log,
-                     sigma_log, n_real):
+                     sigma_log, n_real, fused=None):
         """Build the 3-pass transpose-stream operator (runtime/tstream.py)
         with a LOAD-BALANCING row permutation: rows dealt round-robin by
         descending nnz so every 1024-chunk carries ~equal load — the
@@ -815,7 +880,8 @@ class SpmvOperator:
         )
         device = resolve_device(config)
         try:
-            ts = build_tstream(scs_t, dtype=dtype_for(prec), device=device)
+            ts = build_tstream(scs_t, dtype=dtype_for(prec), device=device,
+                               fused=fused)
         except LaneTileBudgetError:
             return None
         nnz_total = mtx.nnz
@@ -984,6 +1050,34 @@ class SpmvOperator:
     def spmv(self, x: jax.Array) -> jax.Array:
         """One y = A x in device layout (permuted/padded)."""
         return self._spmv_fn()(self.kernel_args, x)
+
+    def compile_gate(self) -> Optional[str]:
+        """Compile AND execute one SpMV at build time on accelerator
+        platforms; returns None on success, else the error string.
+
+        Round 4 shipped a kernel whose BlockSpec could not lower on real
+        TPU, and the operator's LaneTileBudgetError ladder never saw it —
+        lowering happens at first execution, after every build-time
+        fallback has passed (VERDICT r5 weak #2). This gate moves first
+        execution INTO the build so `from_mtx` can degrade a tier on ANY
+        lowering/compile failure, mirroring the reference's guarantee
+        that some kernel always runs (kernels.hpp:22-63). The compiled
+        program is the same cached jit later calls use, so success costs
+        nothing extra; CPU interpret mode skips (nothing lowers there).
+        Disable with USPMV_NO_COMPILE_GATE=1."""
+        import os
+
+        from ..ops.pallas_scs import pallas_supported
+
+        if os.environ.get("USPMV_NO_COMPILE_GATE"):
+            return None
+        if not pallas_supported():
+            return None
+        try:
+            jax.block_until_ready(self.spmv(self.make_x()))
+            return None
+        except Exception as e:  # noqa: BLE001 — ANY failure must degrade
+            return f"{type(e).__name__}: {str(e)[:300]}"
 
     def _fused_solve_eligible(self) -> bool:
         """Whether solve mode can run k iterations inside ONE Pallas launch

@@ -359,13 +359,27 @@ def _bsplit_host(scs: ScsData, pt, NPT: int):
     return n_real, Bre, Bvi, fold_idx
 
 
+# per-step VMEM budget for the FUSED phase-1+2 kernel; beyond it the
+# build keeps the round-3 unfused kernel + XLA transpose (correct at a
+# ~16 us extra HBM round trip of the product grid)
+FUSED_P1_VMEM_BUDGET = 13 * 1024 * 1024
+
+
 def build_tstream(
-    scs: ScsData, dtype=np.float32, device=None
+    scs: ScsData, dtype=np.float32, device=None,
+    fused: Optional[bool] = None,
 ) -> TStreamDev:
     """Build the 3-pass operator from a (column-permuted) SCS at C=1024.
     Raises LaneTileBudgetError when the mode does not apply (x beyond the
     VMEM budget, excessive spills, or B' windows beyond the group
-    budget)."""
+    budget). ``fused=None`` fuses phases 1+2 when the fused kernel's
+    per-step VMEM estimate fits; the unfused phase 1 + XLA transpose is
+    the fallback (and the round-3 measured configuration)."""
+    from ..ops.pallas_scs import (
+        build_device_product_tiles,
+        product_tiles_t_vmem_bytes,
+    )
+
     if np.dtype(dtype) == np.float64:
         raise LaneTileBudgetError("transpose-stream has no df64 variant")
     if not lane_tiles_fit(scs.n_rows_padded, 1):
@@ -376,7 +390,15 @@ def build_tstream(
     n_el = pt.nnz_packed + pt.spill_rows.size
     NC = pt.n_chunks
     NPT = NC * pt.NB * pt.s_pad
-    p1 = build_device_product_tiles_t(pt, dtype=dtype, device=device)
+    if fused is None:
+        fused = (
+            product_tiles_t_vmem_bytes(pt.s_pad, scs.n_rows_padded)
+            <= FUSED_P1_VMEM_BUDGET
+        )
+    if fused:
+        p1 = build_device_product_tiles_t(pt, dtype=dtype, device=device)
+    else:
+        p1 = build_device_product_tiles(pt, dtype=dtype, device=device)
 
     n_real, Bre, Bvi, fold_idx = _bsplit_host(scs, pt, NPT)
     scs_b = convert_to_scs(Bre.astype(np.float32), CHUNK_ROWS, 1)
