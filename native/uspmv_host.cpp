@@ -126,7 +126,7 @@ USPMV_API const char* uspmv_last_error() { return g_error.c_str(); }
 // Bumped whenever an exported signature changes; the ctypes loader
 // refuses to bind a library whose version differs (a stale .so with the
 // old float* pack_fetch would corrupt memory silently).
-USPMV_API int64_t uspmv_abi_version() { return 6; }
+USPMV_API int64_t uspmv_abi_version() { return 7; }
 
 // Reads a MatrixMarket coordinate file. Returns a handle (or null on error;
 // see uspmv_last_error). Mirrors uspmv_tpu/io/mmio.py:read_mtx.
@@ -973,46 +973,34 @@ struct ProductHandle {
 // values may arrive as f64 or f32 (vals_f32 flag): the padded value
 // array is ~100-400x nnz for the tstream intermediate, and casting it
 // to f64 on the Python side cost ~26 s at 200k rows (ABI v6).
-USPMV_API ProductHandle* uspmv_pack_product_tiles(
-    int64_t n_chunks, int64_t n_rows_padded, const int32_t* chunk_ptrs,
-    const int32_t* chunk_lengths, const int32_t* col_idxs,
-    const void* values_p, int32_t vals_f32, const int32_t* row_counts_new,
-    double s_cap_factor) {
-  (void)n_rows_padded;
-  const double* vals_d = static_cast<const double*>(values_p);
-  const float* vals_s = static_cast<const float*>(values_p);
-  auto VAL = [&](int64_t e) -> double {
-    return vals_f32 ? (double)vals_s[e] : vals_d[e];
-  };
+namespace {
+struct PElem {
+  int64_t cell;
+  int32_t col;
+  int64_t row;
+  double val;
+  int32_t k;  // in-row occurrence index (element-order tiebreak)
+};
+
+// Greedy cell-major product-tile packing shared by the padded and the
+// COMPACT entry points. Elements must arrive with a valid (row, col, k);
+// the traversal order is (cell asc, k asc, row asc) — identical to the
+// padded layout's flat enumeration, so both entries (and the Python
+// twin) place elements bit-identically.
+ProductHandle* pack_product_core(std::vector<PElem>& elems,
+                                 int64_t n_chunks, double s_cap_factor) {
   const int64_t kWrows = 32;  // PRODUCT_WINDOW_ROWS
   const int64_t W = kWrows * kLanes;
-
-  // gather elements per cell (cell = b * n_chunks + c), cell-major
   int64_t n_cols = 1;
-  struct Elem {
-    int64_t cell;
-    int32_t col;
-    int64_t row;
-    double val;
-  };
-  std::vector<Elem> elems;
-  for (int64_t c = 0; c < n_chunks; ++c) {
-    const int64_t L = chunk_lengths[c];
-    const int64_t base = chunk_ptrs[c];
-    for (int64_t k = 0; k < L; ++k)
-      for (int64_t r = 0; r < kChunkRows; ++r) {
-        if (row_counts_new[c * kChunkRows + r] <= k) continue;
-        const int64_t e = base + k * kChunkRows + r;
-        const int32_t col = col_idxs[e];
-        if (col + 1 > n_cols) n_cols = col + 1;
-        elems.push_back(Elem{0, col, c * kChunkRows + r, VAL(e)});
-      }
-  }
+  for (const auto& e : elems)
+    if (e.col + 1 > n_cols) n_cols = e.col + 1;
   const int64_t NB = (n_cols + W - 1) / W;
   const int64_t NCg = (n_chunks + 127) / 128;
   for (auto& e : elems) e.cell = (e.col / W) * n_chunks + e.row / kChunkRows;
   std::stable_sort(elems.begin(), elems.end(),
-                   [](const Elem& a, const Elem& b) { return a.cell < b.cell; });
+                   [](const PElem& a, const PElem& b) {
+                     return a.cell != b.cell ? a.cell < b.cell : a.k < b.k;
+                   });
 
   // cell sizes -> padded capacity (mirror the Python formula)
   std::vector<int64_t> csize(NB * n_chunks, 0);
@@ -1057,7 +1045,7 @@ USPMV_API ProductHandle* uspmv_pack_product_tiles(
     const int64_t pos0 = (c * NB + b) * s_pad;
     std::vector<uint8_t> used_k(s_pad, 0);
     for (; ei < n_el && elems[ei].cell == ci; ++ei) {
-      const Elem& el = elems[ei];
+      const PElem& el = elems[ei];
       const int32_t l_e = el.col & (kLanes - 1);
       const int32_t s_e = (int32_t)((el.col - b * W) >> 7);
       bool placed = false;
@@ -1093,6 +1081,57 @@ USPMV_API ProductHandle* uspmv_pack_product_tiles(
   for (int64_t e = 0; e < nt * kChunkRows; ++e)
     h->src_tab[e] = (sub_tab[e] << 7) | lane_tab[e];
   return h;
+}
+}  // namespace
+
+USPMV_API ProductHandle* uspmv_pack_product_tiles(
+    int64_t n_chunks, int64_t n_rows_padded, const int32_t* chunk_ptrs,
+    const int32_t* chunk_lengths, const int32_t* col_idxs,
+    const void* values_p, int32_t vals_f32, const int32_t* row_counts_new,
+    double s_cap_factor) {
+  (void)n_rows_padded;
+  const double* vals_d = static_cast<const double*>(values_p);
+  const float* vals_s = static_cast<const float*>(values_p);
+  auto VAL = [&](int64_t e) -> double {
+    return vals_f32 ? (double)vals_s[e] : vals_d[e];
+  };
+  std::vector<PElem> elems;
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    const int64_t L = chunk_lengths[c];
+    const int64_t base = chunk_ptrs[c];
+    for (int64_t k = 0; k < L; ++k)
+      for (int64_t r = 0; r < kChunkRows; ++r) {
+        if (row_counts_new[c * kChunkRows + r] <= k) continue;
+        const int64_t e = base + k * kChunkRows + r;
+        elems.push_back(
+            PElem{0, col_idxs[e], c * kChunkRows + r, VAL(e), (int32_t)k});
+      }
+  }
+  return pack_product_core(elems, n_chunks, s_cap_factor);
+}
+
+// COMPACT entry: per-permuted-row CSR (row_ptrs into cols/values) — the
+// padded SCS extent is never materialized (it reaches ~120x nnz under
+// the tstream balance permutation on pareto rows; building and copying
+// it cost ~560 s of a 644 s operator build at 500k rows).
+USPMV_API ProductHandle* uspmv_pack_product_tiles_compact(
+    int64_t n_chunks, int64_t n_rows_padded, const int32_t* row_counts_new,
+    const int64_t* row_ptrs, const int32_t* cols, const void* values_p,
+    int32_t vals_f32, double s_cap_factor) {
+  const double* vals_d = static_cast<const double*>(values_p);
+  const float* vals_s = static_cast<const float*>(values_p);
+  std::vector<PElem> elems;
+  elems.reserve((size_t)row_ptrs[n_rows_padded]);
+  for (int64_t r = 0; r < n_rows_padded; ++r) {
+    const int64_t base = row_ptrs[r];
+    const int64_t cnt = row_counts_new[r];
+    for (int64_t k = 0; k < cnt; ++k) {
+      const int64_t e = base + k;
+      const double v = vals_f32 ? (double)vals_s[e] : vals_d[e];
+      elems.push_back(PElem{0, cols[e], r, v, (int32_t)k});
+    }
+  }
+  return pack_product_core(elems, n_chunks, s_cap_factor);
 }
 
 USPMV_API void uspmv_product_sizes(const ProductHandle* h, int64_t* nt,

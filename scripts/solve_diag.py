@@ -105,15 +105,15 @@ def run_matrix(name, mtx, ks=(1, 8, 64, 512), out_rows=None):
         for k in ks:
             ts.append(_time_call(lambda k=k: fn(int(k))))
         a, b = _fit_slope(ks, ts)
-        gflops = 2.0 * nnz / b / 1e9 if b > 0 else float("inf")
+        gflops = 2.0 * nnz / b / 1e9 if b > 0 else None  # noise-dominated fit
         results[mode] = dict(
             launch_us=round(a * 1e6, 1),
             per_iter_us=round(b * 1e6, 2),
-            gflops_asymptotic=round(gflops, 2),
+            gflops_asymptotic=None if gflops is None else round(gflops, 2),
             total_s={int(k): round(t, 5) for k, t in zip(ks, ts)},
         )
         print(f"  {mode:12s} launch {a*1e6:8.1f} us  per-iter "
-              f"{b*1e6:8.2f} us  -> {gflops:.2f} GFLOP/s asymptotic")
+              f"{b*1e6:8.2f} us  -> {gflops if gflops is None else round(gflops, 2)} GFLOP/s asymptotic")
         if out_rows is not None:
             out_rows.append(dict(
                 metric=f"solve_diag_{name}_{mode}",

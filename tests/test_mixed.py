@@ -341,3 +341,40 @@ def test_hub_peel_powerlaw_tstream():
     ref = A @ x
     rel_l2 = np.linalg.norm(y - ref) / np.linalg.norm(ref)
     assert rel_l2 < 5e-6, rel_l2
+
+
+def test_compact_scs_pack_parity():
+    """CompactScs (padded-extent-free tstream build, formats/scs.py)
+    packs bit-identically to the padded SCS under the same fixed
+    permutation — both through the native packer and the Python twin.
+    The padded intermediate reached ~120x nnz on pareto rows and cost
+    ~560 s of a 644 s 500k-row operator build (round-5 profile)."""
+    from uspmv_tpu.formats.coo import MtxData
+    from uspmv_tpu.formats.scs import convert_to_scs_compact
+    from uspmv_tpu.ops.packer import pack_product_tiles
+
+    m = random_imbalanced(20_000, 8, seed=5)
+    m2, _ = split_heavy_rows(m, 2048)
+    n = m2.n_rows
+    nch = (n + 1023) // 1024
+    perm = np.arange(nch * 1024, dtype=np.int32)
+    mp = MtxData.from_arrays(
+        m2.I, m2.J, m2.values, n_rows=n, n_cols=nch * 1024, is_sorted=True
+    )
+    sc_pad = convert_to_scs(
+        mp.astype(np.float32), 1024, 1, fixed_permutation=perm
+    )
+    sc_cmp = convert_to_scs_compact(mp, 1024, perm, dtype=np.float32)
+    assert sc_cmp.n_elements == sc_pad.n_elements
+    assert abs(sc_cmp.beta - sc_pad.beta) < 1e-12
+    for native in (None, False):  # native lib, then the Python twin
+        a = pack_product_tiles(sc_pad, s_cap_factor=2.0, native=native)
+        b = pack_product_tiles(sc_cmp, s_cap_factor=2.0, native=native)
+        for f in ("vals", "src_tab", "w_row", "elem_rows", "elem_pos",
+                  "spill_rows", "spill_cols", "spill_vals"):
+            np.testing.assert_array_equal(
+                getattr(a, f), getattr(b, f), err_msg=f
+            )
+        assert (a.NB, a.NCg, a.s_pad, a.nnz_packed) == (
+            b.NB, b.NCg, b.s_pad, b.nnz_packed
+        )

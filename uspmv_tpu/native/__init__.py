@@ -65,7 +65,7 @@ def _try_build() -> bool:
         return False
 
 
-_ABI_VERSION = 6  # must match uspmv_abi_version() in native/uspmv_host.cpp
+_ABI_VERSION = 7  # must match uspmv_abi_version() in native/uspmv_host.cpp
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -121,6 +121,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.uspmv_pack_product_tiles.argtypes = [
         _i64, _i64, _i32p, _i32p, _i32p, ctypes.c_void_p, ctypes.c_int32,
         _i32p, ctypes.c_double,
+    ]
+    lib.uspmv_pack_product_tiles_compact.restype = ctypes.c_void_p
+    lib.uspmv_pack_product_tiles_compact.argtypes = [
+        _i64, _i64, _i32p, _i64p, _i32p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_double,
     ]
     lib.uspmv_product_sizes.argtypes = [
         ctypes.c_void_p, _i64p, _i64p, _i64p, _i64p, _i64p, _i64p,
@@ -363,23 +368,34 @@ def pack_product_tiles_native(scs, dtype, s_cap_factor=4.0):
         raise ValueError("product tiles require C=1024")
     if scs.row_counts_new is None:
         return None
-    cp = np.ascontiguousarray(scs.chunk_ptrs, dtype=np.int32)
-    cl = np.ascontiguousarray(scs.chunk_lengths, dtype=np.int32)
-    ci = np.ascontiguousarray(scs.col_idxs, dtype=np.int32)
-    # the padded value array is ~100-400x nnz for the tstream
-    # intermediate: pass f32 through and cast element-wise in C++
-    # instead of materializing a second full-size f64 copy
     vf32 = scs.values.dtype == np.float32
     vals = np.ascontiguousarray(
         scs.values, dtype=np.float32 if vf32 else np.float64
     )
     rc = np.ascontiguousarray(scs.row_counts_new, dtype=np.int32)
-    h = lib.uspmv_pack_product_tiles(
-        scs.n_chunks, scs.n_rows_padded, _ptr_i32(cp), _ptr_i32(cl),
-        _ptr_i32(ci), vals.ctypes.data_as(ctypes.c_void_p),
-        ctypes.c_int32(1 if vf32 else 0), _ptr_i32(rc),
-        float(s_cap_factor),
-    )
+    if hasattr(scs, "row_ptrs"):
+        # CompactScs: per-row CSR, padded extent never materialized
+        rp = np.ascontiguousarray(scs.row_ptrs, dtype=np.int64)
+        ci = np.ascontiguousarray(scs.cols, dtype=np.int32)
+        h = lib.uspmv_pack_product_tiles_compact(
+            scs.n_chunks, scs.n_rows_padded, _ptr_i32(rc),
+            rp.ctypes.data_as(_i64p), _ptr_i32(ci),
+            vals.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(1 if vf32 else 0), float(s_cap_factor),
+        )
+    else:
+        cp = np.ascontiguousarray(scs.chunk_ptrs, dtype=np.int32)
+        cl = np.ascontiguousarray(scs.chunk_lengths, dtype=np.int32)
+        ci = np.ascontiguousarray(scs.col_idxs, dtype=np.int32)
+        # the padded value array is ~100-400x nnz for the tstream
+        # intermediate: pass f32 through and cast element-wise in C++
+        # instead of materializing a second full-size f64 copy
+        h = lib.uspmv_pack_product_tiles(
+            scs.n_chunks, scs.n_rows_padded, _ptr_i32(cp), _ptr_i32(cl),
+            _ptr_i32(ci), vals.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(1 if vf32 else 0), _ptr_i32(rc),
+            float(s_cap_factor),
+        )
     if not h:
         _raise_last(lib)
     try:

@@ -881,7 +881,12 @@ def pack_product_tiles(
     tb = np.arange(nt) // (NCg * s8)
     w_row[:] = (tb * PRODUCT_WINDOW_ROWS).astype(np.int32)
 
-    order = np.argsort(cell, kind="stable")
+    if compact:
+        # compact elements arrive row-major; the padded flat enumeration
+        # (and the native twin) traverse cells in (k, row) order
+        order = np.lexsort((rows, ks, cell))
+    else:
+        order = np.argsort(cell, kind="stable")
     bounds = np.searchsorted(cell[order], np.arange(NB * n_chunks + 1))
     sp_r, sp_c, sp_v = [], [], []
     n_el = cols.size

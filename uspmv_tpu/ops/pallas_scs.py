@@ -932,6 +932,31 @@ def build_device_product_tiles(pt, dtype=np.float32, device=None):
     )
 
 
+def stack_device_product_tiles(devs: list) -> DeviceProductTiles:
+    """Stack per-shard UNFUSED product tiles on a leading 'rows' axis for
+    shard_map execution (the fused stacker is
+    :func:`stack_device_product_tiles_t`). The caller forces a common
+    grid geometry, so every array already has identical shape."""
+    d0 = devs[0]
+    assert all(
+        d.tiles_per_step == d0.tiles_per_step
+        and d.n_tiles_static == d0.n_tiles_static
+        and d.window_rows == d0.window_rows
+        for d in devs
+    ), "product-tile shards must share forced grid geometry"
+    return DeviceProductTiles(
+        vals=jnp.asarray(np.stack([np.asarray(d.vals) for d in devs])),
+        src16=jnp.asarray(np.stack([np.asarray(d.src16) for d in devs])),
+        meta=jnp.asarray(np.stack([np.asarray(d.meta) for d in devs])),
+        tiles_per_step=d0.tiles_per_step,
+        n_tiles_static=d0.n_tiles_static,
+        nnz=sum(d.nnz for d in devs),
+        fill=float(np.mean([d.fill for d in devs])),
+        window_rows=d0.window_rows,
+        x_rows_total=max(d.x_rows_total for d in devs),
+    )
+
+
 def _kernel_products(
     meta_ref,  # [nt] int32 window start row
     # blocked inputs
@@ -1052,9 +1077,10 @@ def product_tiles_t_group(s_pad: int) -> int:
 
 
 # the fused kernel unrolls gb*m*s8 gathers per grid step at trace time;
-# beyond this the jaxpr gets deep enough to hit Python recursion limits
-# and compile times explode (measured: 4016 tiles/step -> RecursionError)
-FUSED_P1_MAX_TPS = 512
+# beyond this the trace hits Python recursion limits regardless of
+# sys.setrecursionlimit (measured: RecursionError at 208 and 4016
+# tiles/step on the v5e; 64-128 traces fine)
+FUSED_P1_MAX_TPS = 128
 
 
 def product_tiles_t_vmem_bytes(s_pad: int, n_rows_padded: int) -> int:

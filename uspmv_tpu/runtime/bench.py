@@ -119,23 +119,34 @@ def bench_solve(
     bench_time = bench_time if bench_time is not None else op.config.bench_time
     solve_fn = op._solve_fn()
 
-    def run(args, xv, n):
-        _, y = solve_fn(args, xv, n)
-        return jnp.sum(y, dtype=jnp.float32)
+    def run(args, xv, eps, n, m):
+        # m whole solves chained INSIDE one call: the per-call device
+        # sync costs ~30 ms over the axon tunnel, and round 4 divided it
+        # into k=512 iterations as a phantom 69 us/iter (solve_diag.py);
+        # eps (runtime zeros) re-perturbs x so XLA cannot collapse the
+        # repeats, mirroring _make_runner's anti-CSE dependence
+        def body(i, carry):
+            xc, acc = carry
+            _, y = solve_fn(args, xc, n)
+            s = jnp.ravel(y)[0] * eps[i % _EPS_LEN]
+            return (xv + s, acc + jnp.sum(y, dtype=jnp.float32))
 
-    runner = jax.jit(run, static_argnums=2)
+        _, acc = jax.lax.fori_loop(0, m, body, (xv, jnp.float32(0)))
+        return acc
+
+    runner = jax.jit(run, static_argnums=3)
     args = op.kernel_args
     k = int(n_repetitions)
-    float(runner(args, x, k))  # compile; scalar fetch = true sync
+    eps = jnp.zeros(_EPS_LEN, dtype=jnp.float32)
+    float(runner(args, x, eps, k, 1))  # compile; scalar fetch = true sync
     for _ in range(max(warmup - 1, 0)):
-        float(runner(args, x, k))
+        float(runner(args, x, eps, k, 1))
 
     t_total0 = time.perf_counter()
     m = 1
     while True:
         t0 = time.perf_counter()
-        for _ in range(m):
-            float(runner(args, x, k))
+        float(runner(args, x, eps, k, m))
         elapsed = time.perf_counter() - t0
         if elapsed >= bench_time or m >= (1 << 14):
             break
@@ -143,8 +154,7 @@ def bench_solve(
     samples = [elapsed]
     for _ in range(max(timing_reps, 1) - 1):
         t0 = time.perf_counter()
-        for _ in range(m):
-            float(runner(args, x, k))
+        float(runner(args, x, eps, k, m))
         samples.append(time.perf_counter() - t0)
     elapsed = float(np.median(samples))
     t_total = time.perf_counter() - t_total0

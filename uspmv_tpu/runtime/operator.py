@@ -874,9 +874,14 @@ class SpmvOperator:
             mtx.I, bperm[mtx.J], mtx.values,
             n_rows=mtx.n_rows, n_cols=n_pad, is_sorted=True,
         )
-        scs_t = convert_to_scs(
-            m_perm.astype(dtype_for(prec)), CHUNK_ROWS, 1,
-            fixed_permutation=bperm,
+        # CompactScs: the padded SCS extent under the balance perm
+        # reaches ~120x nnz on pareto rows (448M elements at 500k) and
+        # materializing it cost ~560 s of the 644 s build (round-5
+        # profile); the compact form carries the same semantics
+        from ..formats.scs import convert_to_scs_compact
+
+        scs_t = convert_to_scs_compact(
+            m_perm, CHUNK_ROWS, bperm, dtype=dtype_for(prec)
         )
         device = resolve_device(config)
         try:
@@ -1087,9 +1092,25 @@ class SpmvOperator:
         launch-bound small-matrix class (VERDICT r3 weak #4): the
         reference's swap_local_vectors costs nothing per iteration
         (classes_structs.hpp:1130-1165) while a scan of kernel launches
-        pays ~us dispatch overhead per iteration."""
+        pays ~us dispatch overhead per iteration.
+
+        MEASURED (round 5, scripts/solve_diag.py on the v5e,
+        spmv_bench.jsonl): the premise does not hold on this hardware —
+        per chained iteration inside one jitted call, scan-of-launches
+        costs 5.1 us on bcsstk13 where the fused grid=(k, ns) sweep
+        costs 10.5 us (it re-streams the value/gather arrays HBM->VMEM
+        every sweep and pays the xy ping-pong zero-inits), and round 4's
+        "69 us/iter" was the ~30 ms per-CALL tunnel sync divided by
+        k=512, not kernel time. The scan path wins at both tested
+        scales, so it is the default; set USPMV_FUSED_SOLVE=1 to force
+        the fused kernel (kept tested — solve contract parity in
+        tests/test_pallas.py)."""
+        import os
+
         from ..ops.pallas_scs import DeviceLaneTiles, solve_tiles_fit
 
+        if not os.environ.get("USPMV_FUSED_SOLVE"):
+            return False
         if len(self.devs) != 1:
             return False
         dev = next(iter(self.devs.values()))
@@ -1237,6 +1258,25 @@ class SpmvOperator:
         paths = []
         for p, s in self.scs.items():
             path = os.path.join(outdir, f"{p}_local_scs.mtx")
-            s.write_to_mtx_file(path, col_unperm=primary.new_to_old_idx)
+            if hasattr(s, "row_ptrs"):  # CompactScs (tstream tier)
+                self._write_compact_mtx(path, s)
+            else:
+                s.write_to_mtx_file(path, col_unperm=primary.new_to_old_idx)
             paths.append(path)
         return paths
+
+    @staticmethod
+    def _write_compact_mtx(path: str, s) -> None:
+        """-output_sparsity for the tstream tier's CompactScs: rebuild the
+        original-index COO from the compact per-row arrays."""
+        from ..io.mmio import write_mtx
+
+        cnt = s.row_counts_new.astype(np.int64)
+        rows_new = np.repeat(np.arange(cnt.size, dtype=np.int64), cnt)
+        rows_old = s.new_to_old_idx[rows_new].astype(np.int64)
+        cols_old = s.new_to_old_idx[s.cols].astype(np.int64)
+        m = MtxData.from_arrays(
+            rows_old, cols_old, s.values.astype(np.float64),
+            n_rows=s.n_rows, n_cols=s.n_rows,
+        ).sort_by_row()
+        write_mtx(path, m)

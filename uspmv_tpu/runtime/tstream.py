@@ -238,8 +238,13 @@ def _cell_cap_factor(scs: ScsData) -> float:
     from ..ops.packer import PRODUCT_WINDOW_ROWS
 
     W = PRODUCT_WINDOW_ROWS * LANES
-    idx, rows = scs.nonpad_index()
-    cols = scs.col_idxs[idx].astype(np.int64)
+    if hasattr(scs, "row_ptrs"):  # CompactScs
+        cols = scs.cols.astype(np.int64)
+        cnt = scs.row_counts_new.astype(np.int64)
+        rows = np.repeat(np.arange(cnt.size, dtype=np.int64), cnt)
+    else:
+        idx, rows = scs.nonpad_index()
+        cols = scs.col_idxs[idx].astype(np.int64)
     chunk = rows // scs.C
     n_cols = max(int(cols.max(initial=0)) + 1, 1)
     NB = (n_cols + W - 1) // W
@@ -391,7 +396,16 @@ def build_tstream(
     NC = pt.n_chunks
     NPT = NC * pt.NB * pt.s_pad
     if fused is None:
-        fused = (
+        # the fused phase-1+2 kernel is lane-legal and layout-verified
+        # (tests/test_mosaic_lint.py) but JAX's trace/lowering recurses
+        # past Python limits at production tile counts (measured:
+        # RecursionError at the 500k bench geometries on the v5e even
+        # with sys.setrecursionlimit(1e5)); the unfused phase 1 + XLA
+        # transpose is the measured configuration (23.4/35.1 GFLOP/s,
+        # BASELINE.md round 5), so fused stays opt-in
+        import os
+
+        fused = bool(os.environ.get("USPMV_TSTREAM_FUSED")) and (
             product_tiles_t_vmem_bytes(pt.s_pad, scs.n_rows_padded)
             <= FUSED_P1_VMEM_BUDGET
         )
@@ -530,7 +544,8 @@ def build_tstream_shards(
             "(pad local COOs to the common n_loc)"
         )
     for s in scs_list:
-        if not lane_tiles_fit(int(s.col_idxs.max(initial=0)) + 1, 1):
+        cols_arr = s.cols if hasattr(s, "row_ptrs") else s.col_idxs
+        if not lane_tiles_fit(int(cols_arr.max(initial=0)) + 1, 1):
             raise LaneTileBudgetError(
                 "a shard's halo-extended x exceeds the VMEM budget"
             )
@@ -552,9 +567,24 @@ def build_tstream_shards(
     assert all(pt.n_chunks == NC for pt in pts)
     NPT = NC * NB_c * s_pad_c
     parts = [_bsplit_host(s, pt, NPT) for s, pt in zip(scs_list, pts)]
-    p1 = stack_device_product_tiles_t(
-        [build_device_product_tiles_t(pt, dtype=dtype) for pt in pts]
+    import os as _os
+
+    from ..ops.pallas_scs import (
+        product_tiles_t_vmem_bytes,
+        stack_device_product_tiles,
     )
+
+    fused_c = bool(_os.environ.get("USPMV_TSTREAM_FUSED")) and (
+        product_tiles_t_vmem_bytes(s_pad_c, n_loc) <= FUSED_P1_VMEM_BUDGET
+    )  # same policy as the single-chip build (trace-recursion limits)
+    if fused_c:
+        p1 = stack_device_product_tiles_t(
+            [build_device_product_tiles_t(pt, dtype=dtype) for pt in pts]
+        )
+    else:
+        p1 = stack_device_product_tiles(
+            [build_device_product_tiles(pt, dtype=dtype) for pt in pts]
+        )
 
     scs_bs = [
         convert_to_scs(Bre.astype(np.float32), CHUNK_ROWS, 1)
