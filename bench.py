@@ -180,9 +180,11 @@ def main() -> int:
     # solve mode on the reference's own bundled matrix class: every
     # matrix in /root/reference/matrices is launch-bound at SpMV scale
     # (bcsstk13: 2003 rows), and solve (-mode s, main.cpp:528-607)
-    # multiplies the per-launch tax by n_repetitions. The fused
-    # multi-iteration kernel (ops/pallas_scs.solve_lane_tiles) runs all
-    # iterations in ONE launch with the x<->y swap on-chip.
+    # multiplies the per-launch tax by n_repetitions. Measured (round 5,
+    # scripts/solve_diag.py): a lax.scan of launches beats the fused
+    # one-launch kernel per chained iteration (5.1 vs 10.5 us), and the
+    # dominant cost was the ~30 ms per-CALL tunnel sync — bench_solve now
+    # chains m whole solves inside one jitted call to amortize it.
     if not _over_budget():
         try:
             from uspmv_tpu.runtime.bench import bench_solve

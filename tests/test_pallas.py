@@ -511,12 +511,16 @@ def test_solve_lane_tiles_block_vectors(rng):
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
 
 
-def test_operator_solve_uses_fused_kernel_and_validates(rng):
-    """End-to-end: the operator's solve picks the fused path on an
-    eligible matrix and the result matches the f64 oracle at solve-mode
-    tolerances (reference main.cpp:528-607 + MKL compare)."""
+def test_operator_solve_uses_fused_kernel_and_validates(rng, monkeypatch):
+    """End-to-end: with the opt-in set (the fused kernel measured SLOWER
+    than scan-of-launches per chained iteration — 10.5 vs 5.1 us on
+    bcsstk13, scripts/solve_diag.py round 5 — so scan is the default),
+    the operator's solve picks the fused path on an eligible matrix and
+    the result matches the f64 oracle at solve-mode tolerances
+    (reference main.cpp:528-607 + MKL compare)."""
     from uspmv_tpu.runtime.validate import validate_solve
 
+    monkeypatch.setenv("USPMV_FUSED_SOLVE", "1")
     mtx = laplace2d(40)  # spectral radius < 8 scaled below
     mtx.values[:] = mtx.values * 0.1
     cfg = Config(kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
@@ -572,3 +576,43 @@ def test_spmmv_wide_block_vectors(bs):
     Y = op.to_host(np.asarray(op.spmv(op.make_x(X))))
     ref = mtx.to_scipy().tocsr() @ X.astype(np.float64)
     assert np.abs(Y - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_rhs_column_grouping_when_block_vector_blows_budget(monkeypatch):
+    """Rowwise SpMMV whose block vector exceeds the VMEM budget must run
+    in RHS column groups on the lane-tile kernel instead of falling to
+    the XLA path (measured round 5: bs=32 on Laplace3D-96 fell to 5.2
+    GFLOP/s XLA where two bs=16 passes run ~197 each; perf_sweep.jsonl).
+    Reference contract: arbitrary block_vec_size, kernels.hpp:306-551."""
+    import warnings
+
+    from uspmv_tpu.io.generators import laplace2d
+    from uspmv_tpu.ops.pallas_scs import (
+        LaneTileBudgetError,
+        build_device_lane_tiles,
+    )
+
+    m = laplace2d(64)
+    cfg = Config(kernel_format="scs", chunk_size=CHUNK_ROWS, sigma=1,
+                 value_type="sp", backend="cpu", block_vec_size=8,
+                 vector_layout="rowwise")
+
+    # deterministic budget refusal: any build wider than 4 RHS columns
+    def narrow_build(scs, **kw):
+        if kw.get("block_vec_size", 1) > 4:
+            raise LaneTileBudgetError("injected: bs window over budget")
+        return build_device_lane_tiles(scs, **kw)
+
+    import uspmv_tpu.ops.pallas_scs as ps
+
+    monkeypatch.setattr(ps, "build_device_lane_tiles", narrow_build)
+    with warnings.catch_warnings(record=True) as ws:
+        warnings.simplefilter("always")
+        op = SpmvOperator.from_mtx(cfg, m)
+    assert op.impl_name() == "pallas-lane-tiles"
+    assert op.rhs_group == 4
+    assert any("groups" in str(w.message) for w in ws)
+    X = np.random.default_rng(0).standard_normal((m.n_rows, 8))
+    y = op.to_host(op.spmv(op.make_x(X)))
+    ref = m.to_scipy().astype(np.float64) @ X
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5

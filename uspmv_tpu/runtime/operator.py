@@ -430,6 +430,10 @@ class SpmvOperator:
     # matrix executes as physical 1024-row lane-tile chunks
     logical_beta: Optional[Dict[str, float]] = None
     retiled: bool = False
+    # rowwise SpMMV RHS grouping: when > 0 and < block_vec_size, the spmv
+    # closure processes the RHS in column groups of this width (the full
+    # block blew the kernel's VMEM budget)
+    rhs_group: int = 0
     # heavy-row splitting: (virtual_pos, parent_pos) in permuted row space;
     # each SpMV adds y[virtual_pos] into y[parent_pos] (scatter fold —
     # the fallback when the vectorized fold below is unavailable)
@@ -445,6 +449,21 @@ class SpmvOperator:
     @classmethod
     def from_mtx(cls, config: Config, mtx: MtxData) -> "SpmvOperator":
         config.validate()
+        if config.value_type == "ap[dp_sp_hp]" and use_lane_tiles(config):
+            import warnings
+
+            warnings.warn(
+                "ap[dp_sp_hp] measured DOMINATED by ap[dp_sp] on the v5e "
+                "at every tested threshold (WideSpectrum-40: 58.5 vs 65.2 "
+                "and 78.3 vs 99.8 GFLOP/s at equal-or-worse accuracy, "
+                "ap_bench.jsonl round 5): under the shared row "
+                "permutation each extra partition loses lane-tile fill "
+                "(0.73 -> ~0.60) and adds a kernel launch, eating the "
+                "2-byte hp stream's bandwidth win. Prefer ap[dp_sp] "
+                "(accuracy) or ap[sp_hp] (speed); the 3-way mode remains "
+                "for reference parity (utilities.hpp:3042-3121).",
+                stacklevel=2,
+            )
         mtx = mtx.copy()
         if not mtx.is_sorted:
             mtx = mtx.sort_by_row()
@@ -643,6 +662,7 @@ class SpmvOperator:
         from ..ops.pallas_scs import MAX_META_TILES
 
         devs = None
+        rhs_group = 0
         if use_lane_tiles(config) and primary.C == CHUNK_ROWS and (
             max(s.n_elements for s in scs.values()) // CHUNK_ROWS
             <= MAX_META_TILES
@@ -680,45 +700,72 @@ class SpmvOperator:
                 except LaneTileBudgetError:
                     devs = None  # fall through to the regular packer
             if devs is None:
-                try:
-                    devs = {
-                        # values stream in the precision's own dtype (hp =
-                        # bfloat16, the _Float16 analogue); the kernel
-                        # accumulates in f32 like the reference's AP
-                        # kernels. x beyond the VMEM budget switches to
-                        # per-group HBM->VMEM windows automatically
-                        # (x_window auto)
-                        p: build_device_lane_tiles(
-                            s, dtype=dtype_for(p), device=device,
-                            chunks_per_group=cpg,
-                            block_vec_size=eff_bs,
-                            window_rows=tuned_window_rows,
+                g = eff_bs
+                while devs is None:
+                    try:
+                        cpg_g = resolve_chunks_per_group(
+                            primary.n_rows_padded // CHUNK_ROWS, g
                         )
-                        for p, s in scs.items()
-                    }
-                except Exception as e:
-                    if not isinstance(e, LaneTileBudgetError):
-                        raise
-                    if (not use_mixed and not config.is_ap
-                            and not config.dp_emulation
-                            and config.mixed_tiles is not False):
-                        # second chance: a spill blow-up IS the
-                        # zero-locality signature the estimator missed
-                        try:
-                            devs = _build_mixed()
-                        except LaneTileBudgetError:
-                            devs = None
-                    else:
-                        devs = None
-                    if devs is None:
-                        import warnings
+                        devs = {
+                            # values stream in the precision's own dtype
+                            # (hp = bfloat16, the _Float16 analogue); the
+                            # kernel accumulates in f32 like the
+                            # reference's AP kernels. x beyond the VMEM
+                            # budget switches to per-group HBM->VMEM
+                            # windows automatically (x_window auto)
+                            p: build_device_lane_tiles(
+                                s, dtype=dtype_for(p), device=device,
+                                chunks_per_group=cpg_g,
+                                block_vec_size=g,
+                                window_rows=tuned_window_rows,
+                            )
+                            for p, s in scs.items()
+                        }
+                        if g != eff_bs:
+                            # RHS column grouping: the full block vector
+                            # blew the VMEM budget (measured: rowwise
+                            # bs=32 on Laplace3D-96 fell to XLA at 5.2
+                            # GFLOP/s where two bs=16 passes run at ~197
+                            # each); the closure runs ceil(bs/g) passes of
+                            # g columns over one matrix stream each.
+                            # Reference contract: arbitrary
+                            # block_vec_size, kernels.hpp:306-551.
+                            rhs_group = g
+                            import warnings
 
-                        warnings.warn(
-                            f"lane-tile kernel unavailable ({e}); falling "
-                            "back to the XLA SpMV path (expect lower "
-                            "throughput)",
-                            stacklevel=2,
-                        )
+                            warnings.warn(
+                                f"block vector bs={eff_bs} exceeds the "
+                                f"VMEM budget; processing the RHS in "
+                                f"{-(-eff_bs // g)} groups of {g} columns",
+                                stacklevel=2,
+                            )
+                    except Exception as e:
+                        if not isinstance(e, LaneTileBudgetError):
+                            raise
+                        if g > 1:
+                            g //= 2
+                            continue
+                        if (not use_mixed and not config.is_ap
+                                and not config.dp_emulation
+                                and config.mixed_tiles is not False):
+                            # second chance: a spill blow-up IS the
+                            # zero-locality signature the estimator missed
+                            try:
+                                devs = _build_mixed()
+                            except LaneTileBudgetError:
+                                devs = None
+                        else:
+                            devs = None
+                        if devs is None:
+                            import warnings
+
+                            warnings.warn(
+                                f"lane-tile kernel unavailable ({e}); "
+                                "falling back to the XLA SpMV path "
+                                "(expect lower throughput)",
+                                stacklevel=2,
+                            )
+                        break
         fold_dev = None
         if devs is not None and fold_idx is not None:
             from ..ops.pallas_scs import DeviceLaneTiles, DeviceMixedTiles
@@ -730,9 +777,10 @@ class SpmvOperator:
                    for d in devs.values()):
                 fold_dev = _build_fold_dev(
                     fold_idx, primary.n_rows_padded, device,
-                    block_vec_size=(config.block_vec_size
-                                    if config.vector_layout == "rowwise"
-                                    else 1),
+                    block_vec_size=(
+                        (rhs_group or config.block_vec_size)
+                        if config.vector_layout == "rowwise" else 1
+                    ),
                 )
         pallas_tier = devs is not None
         if devs is None:
@@ -764,6 +812,7 @@ class SpmvOperator:
             device=device,
             logical_beta=logical_beta,
             retiled=retiled,
+            rhs_group=rhs_group,
         )
         if pallas_tier:
             gate_err = op.compile_gate()
@@ -1045,6 +1094,29 @@ class SpmvOperator:
 
         if bs > 1 and layout == "colwise":
             return lambda devs, x: jax.vmap(lambda xv: one(devs, xv))(x)
+        g = self.rhs_group
+        if bs > 1 and g and g < bs:
+            # RHS column grouping (see from_mtx): the kernels were built
+            # for g columns; run ceil(bs/g) passes, zero-padding the last
+            # group. One matrix stream per pass — still ceil(bs/g)x fewer
+            # streams than colwise, and ~38x over the XLA fallback the
+            # budget overflow used to cause (perf_sweep.jsonl round 5).
+            ngroups = -(-bs // g)
+
+            def grouped(args, x):
+                outs = []
+                for i in range(ngroups):
+                    xs = jax.lax.slice_in_dim(
+                        x, i * g, min((i + 1) * g, bs), axis=1
+                    )
+                    if xs.shape[1] < g:
+                        pad = [(0, 0)] * xs.ndim
+                        pad[1] = (0, g - xs.shape[1])
+                        xs = jnp.pad(xs, pad)
+                    outs.append(one(args, xs))
+                return jnp.concatenate(outs, axis=1)[:, :bs]
+
+            return grouped
         return one
 
     def _spmv_fn(self):
