@@ -1128,15 +1128,19 @@ def build_device_product_tiles_t(pt, dtype=np.float32, device=None):
         v5 = np.pad(v5, pad + ((0, 0), (0, 0)))
         s5 = np.pad(s5, pad + ((0, 0), (0, 0)))
         w2 = np.pad(w2, pad, mode="edge")  # keep windows in range
-    # reorder tiles (NB, NCg_p, s8) -> (NBg, gpb, gb, m, s8) so one grid
-    # step reads its gb column blocks x m chunk groups contiguously
+    # reorder tiles (NB, NCg_p, s8) -> (NBg, gpb, m, gb, s8) so one grid
+    # step reads its gb column blocks x m chunk groups contiguously AND
+    # the kernel's rolled loop index is affine: for chunk group cb, tile
+    # q = cb*gb*s8 + t with t enumerating (bb, k1) — the lax.fori_loop
+    # needs this (the unrolled kernel's per-op lowering nested past the
+    # remote compiler's recursion limit at production tile counts)
     NBg = pt.NB // gb
     gpb = NCg_p // m
 
     def regroup(a5):
-        # (NB, NCg_p, s8, ...) -> (NBg, gpb, gb, m, s8, ...)
+        # (NB, NCg_p, s8, ...) -> (NBg, gpb, m, gb, s8, ...)
         a7 = a5.reshape((NBg, gb, gpb, m) + a5.shape[2:])
-        return a7.transpose((0, 2, 1, 3) + tuple(range(4, a7.ndim)))
+        return a7.transpose((0, 2, 3, 1) + tuple(range(4, a7.ndim)))
 
     v5 = regroup(v5)
     s5 = regroup(s5)
@@ -1199,7 +1203,7 @@ def stack_device_product_tiles_t(devs: list) -> DeviceProductTilesT:
 
 def _kernel_products_t(
     meta_ref,  # [nt] int32 window start row
-    vals_ref,  # (tps, 8, 128), tile order (gb, m, s8)
+    vals_ref,  # (tps, 8, 128), tile order (m, gb, s8)
     src_ref,  # (tps/2, 16, 128)
     x_ref,  # (x_rows, 128) whole x in VMEM
     out_ref,  # (m*128, gb*s_pad) — this step's transposed PT blocks
@@ -1210,30 +1214,47 @@ def _kernel_products_t(
     gb,
     wr,
 ):
+    """The (bb, k1) sweep is a lax.fori_loop over tiles, not a Python
+    unroll: at production tile counts (~100-200 tiles/step) the unrolled
+    body's per-op lowering nests jaxpr_subcomp past the REMOTE
+    compiler's Python recursion limit (axon lowers out-of-process, so
+    sys.setrecursionlimit here cannot help — measured RecursionError at
+    112 and 208 tiles/step). Rolled, the lowering depth is constant in
+    tps. Inside the loop every tile access is a dynamic SECOND-MINOR
+    pl.ds on a 2D view (the x-window pattern): dynamic LEADING-index
+    loads on 3D refs lower through a per-entry select expansion that
+    both recurses and would be catastrophically slow (measured: remote
+    compile crash). The build orders tiles (m, gb, s8) within a step so
+    the tile index is affine in the loop counter."""
     step = pl.program_id(0)
     tps = gb * m * s8
+    gbs8 = gb * s8
     base = step * tps
+
     for cb in range(m):
-        for bb in range(gb):
-            for k1 in range(s8):
-                k = bb * (m * s8) + cb * s8 + k1
-                w = meta_ref[base + k]
-                half = (k % 2) * TILE_J
-                packed = src_ref[k // 2, pl.ds(half, TILE_J), :].astype(
-                    jnp.int32
-                )
-                lane_tab = jnp.bitwise_and(packed, LANES - 1)
-                sub_tab = jnp.bitwise_and(jnp.right_shift(packed, 7), 63)
-                v = vals_ref[k]
-                window = x_ref[pl.ds(w, wr), :]
-                g = _gather_window(window, sub_tab, lane_tab, wr)
-                scratch_ref[
-                    pl.ds((bb * s8 + k1) * TILE_J, TILE_J), :
-                ] = v * g
+        q0 = cb * gbs8  # tiles of this chunk group are contiguous
+
+        def tile_body(t, carry, q0=q0):
+            q = q0 + t
+            w = meta_ref[base + q]
+            # src16 rows: tile pair q//2 at 16 sublanes, half q%2
+            packed = src_ref[
+                pl.ds((q // 2) * (2 * TILE_J) + (q % 2) * TILE_J,
+                      TILE_J), :,
+            ].astype(jnp.int32)
+            lane_tab = jnp.bitwise_and(packed, LANES - 1)
+            sub_tab = jnp.bitwise_and(jnp.right_shift(packed, 7), 63)
+            v = vals_ref[pl.ds(q * TILE_J, TILE_J), :]
+            window = x_ref[pl.ds(w, wr), :]
+            g = _gather_window(window, sub_tab, lane_tab, wr)
+            scratch_ref[pl.ds(t * TILE_J, TILE_J), :] = v * g
+            return carry
+
+        jax.lax.fori_loop(0, gbs8, tile_body, 0)
         # gb*s_pad is a multiple of 128 by construction, so the staged
         # (gb*s_pad, 128) stack transposes as whole (128, 128) slices —
         # the native crossbar shape
-        for t in range((gb * s8 * TILE_J) // LANES):
+        for t in range((gbs8 * TILE_J) // LANES):
             out_ref[
                 pl.ds(cb * LANES, LANES), pl.ds(t * LANES, LANES)
             ] = scratch_ref[pl.ds(t * LANES, LANES), :].T
@@ -1261,12 +1282,16 @@ def spmv_product_tiles_t(
     NBg = dev.NB // gb
     ns = NBg * gpb
     s_pad = dev.s_pad
+    # 2D views: the kernel's rolled loop needs dynamic SECOND-MINOR
+    # indexing (see _kernel_products_t); nt*8 and nt/2*16 sublane rows
+    vals2d = dev.vals.reshape(-1, LANES)
+    src2d = dev.src16.reshape(-1, LANES)
     vals_spec = pl.BlockSpec(
-        (tps, TILE_J, LANES), lambda s, m_: (s, Z, Z),
+        (tps * TILE_J, LANES), lambda s, m_: (s, Z),
         memory_space=pltpu.VMEM,
     )
     src_spec = pl.BlockSpec(
-        (tps // 2, 2 * TILE_J, LANES), lambda s, m_: (s, Z, Z),
+        (tps * TILE_J, LANES), lambda s, m_: (s, Z),
         memory_space=pltpu.VMEM,
     )
     x_spec = pl.BlockSpec(
@@ -1294,7 +1319,7 @@ def spmv_product_tiles_t(
             (dev.NCg_pad * LANES, dev.NB * s_pad), jnp.float32
         ),
         interpret=interpret,
-    )(dev.meta, dev.vals, dev.src16, x2)
+    )(dev.meta, vals2d, src2d, x2)
 
 
 def _kernel_mixed(

@@ -397,12 +397,21 @@ def build_tstream(
     NPT = NC * pt.NB * pt.s_pad
     if fused is None:
         # the fused phase-1+2 kernel is lane-legal and layout-verified
-        # (tests/test_mosaic_lint.py) but JAX's trace/lowering recurses
-        # past Python limits at production tile counts (measured:
-        # RecursionError at the 500k bench geometries on the v5e even
-        # with sys.setrecursionlimit(1e5)); the unfused phase 1 + XLA
+        # (tests/test_mosaic_lint.py) but cannot currently lower for
+        # real TPUs: unrolled, Mosaic's per-op lowering recurses past
+        # Python limits at production tile counts (RecursionError at
+        # the 500k bench geometries even with recursionlimit=1e5, and
+        # axon compiles out-of-process so the limit can't be raised
+        # there); rolled as a lax.fori_loop, the two-step gather
+        # (_gather_window) trips a Mosaic internal verifier bug
+        # ("'arith.muli' op requires the same type for all operands" —
+        # minimal repro: gather_sublanes+gather_lanes inside fori_loop,
+        # bisected round 5 with per-construct probes: dynamic 2nd-minor
+        # loads/stores, SMEM scalar reads and astype in a fori body all
+        # compile clean in isolation). The unfused phase 1 + XLA
         # transpose is the measured configuration (23.4/35.1 GFLOP/s,
-        # BASELINE.md round 5), so fused stays opt-in
+        # BASELINE.md round 5), so fused stays opt-in until the
+        # upstream lowering accepts one of the two forms.
         import os
 
         fused = bool(os.environ.get("USPMV_TSTREAM_FUSED")) and (
