@@ -402,13 +402,15 @@ def build_tstream(
         # Python limits at production tile counts (RecursionError at
         # the 500k bench geometries even with recursionlimit=1e5, and
         # axon compiles out-of-process so the limit can't be raised
-        # there); rolled as a lax.fori_loop, the two-step gather
-        # (_gather_window) trips a Mosaic internal verifier bug
-        # ("'arith.muli' op requires the same type for all operands" —
-        # minimal repro: gather_sublanes+gather_lanes inside fori_loop,
-        # bisected round 5 with per-construct probes: dynamic 2nd-minor
-        # loads/stores, SMEM scalar reads and astype in a fori body all
-        # compile clean in isolation). The unfused phase 1 + XLA
+        # there); rolled as a lax.fori_loop, a single
+        # tpu.dynamic_gather (ops/gather_primitive.py) inside the loop
+        # body trips a Mosaic internal verifier bug ("'arith.muli' op
+        # requires the same type for all operands" — reproduced with
+        # sublane-only and lane-only gathers at int16 AND int32 index
+        # tables; dynamic 2nd-minor loads/stores, SMEM scalar reads and
+        # astype in a fori body all compile clean in isolation, so the
+        # blocker is the gather op inside a loop region, not our index
+        # arithmetic). The unfused phase 1 + XLA
         # transpose is the measured configuration (23.4/35.1 GFLOP/s,
         # BASELINE.md round 5), so fused stays opt-in until the
         # upstream lowering accepts one of the two forms.
