@@ -228,3 +228,43 @@ def test_compile_gate_failure_degrades_all_pallas_to_xla(monkeypatch):
     y = op.to_host(op.spmv(op.make_x(x)))
     ref = m.to_scipy().astype(np.float64) @ x
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_fused_tstream_matches_unfused_end_to_end(monkeypatch):
+    """The grid-dimension fused phase-1+2 kernel must produce the same y
+    as the unfused phase 1 + XLA transpose through the FULL operator
+    path (balance permutation, heavy-row pre-split, B' fold, spills) —
+    not just the synthetic layout test above."""
+    from uspmv_tpu.ops.pallas_scs import (
+        DeviceProductTiles,
+        DeviceProductTilesT,
+    )
+
+    m = random_imbalanced(30_000, 8, seed=4)
+    x = np.random.default_rng(6).standard_normal(m.n_rows)
+
+    ys = {}
+    for fused in (True, False):
+        if fused:
+            monkeypatch.setenv("USPMV_TSTREAM_FUSED", "1")
+            # at 30k rows the cell grid is tall (s_pad ~ 1000), so the
+            # fused out block + scratch legitimately exceed the real
+            # VMEM budget; interpret mode has no VMEM, and correctness
+            # is what this test checks
+            import uspmv_tpu.runtime.tstream as T
+
+            monkeypatch.setattr(T, "FUSED_P1_VMEM_BUDGET", 1 << 40)
+        else:
+            monkeypatch.delenv("USPMV_TSTREAM_FUSED", raising=False)
+        op = SpmvOperator.from_mtx(_zero_locality_cfg(), m)
+        assert op.impl_name() == "pallas-tstream"
+        want = DeviceProductTilesT if fused else DeviceProductTiles
+        assert all(
+            isinstance(d.p1, want) for d in op.devs.values()
+        ), f"fused={fused} built {[type(d.p1) for d in op.devs.values()]}"
+        ys[fused] = op.to_host(op.spmv(op.make_x(x)))
+
+    ref = m.to_scipy().astype(np.float64) @ x
+    scale = np.abs(ref).max()
+    assert np.abs(ys[True] - ref).max() / scale < 1e-5
+    np.testing.assert_allclose(ys[True], ys[False], rtol=1e-6, atol=1e-6)

@@ -1076,31 +1076,22 @@ def product_tiles_t_group(s_pad: int) -> int:
     return LANES // math.gcd(s_pad, LANES)
 
 
-# the fused kernel unrolls gb*m*s8 gathers per grid step at trace time;
-# beyond this the trace hits Python recursion limits regardless of
-# sys.setrecursionlimit (measured: RecursionError at 208 and 4016
-# tiles/step on the v5e; 64-128 traces fine)
-FUSED_P1_MAX_TPS = 128
-
-
 def product_tiles_t_vmem_bytes(s_pad: int, n_rows_padded: int) -> int:
     """Per-step VMEM estimate for the fused kernel (double-buffered
-    vals/src/out + scratch + whole-x residence); callers fall back to
-    the unfused phase-1 + XLA transpose when this exceeds the budget.
-    Returns a huge number when the per-step unroll exceeds
-    FUSED_P1_MAX_TPS, so budget comparisons refuse those too."""
+    16-tile vals/src blocks + resident out block + scratch + whole-x);
+    callers fall back to the unfused phase-1 + XLA transpose when this
+    exceeds the budget. The trace depth is constant (the tile sweep is
+    a grid dimension, FUSED_P1_TILE_UNROLL tiles per inner step), so
+    VMEM is the only refusal criterion."""
     s8 = s_pad // 8
     gb = product_tiles_t_group(s_pad)
     m = max(1, 64 // (gb * s8))
-    tps = gb * m * s8
-    if tps > FUSED_P1_MAX_TPS:
-        return 1 << 62
-    vals_b = tps * TILE_J * LANES * 4
+    vals_b = FUSED_P1_TILE_UNROLL * TILE_J * LANES * 4
     src_b = vals_b // 2
     out_b = m * LANES * gb * s_pad * 4
     scratch_b = gb * s_pad * LANES * 4
     x_b = ((n_rows_padded + LANES - 1) // LANES) * LANES * 4
-    return 2 * (vals_b + src_b + out_b) + scratch_b + x_b
+    return 2 * (vals_b + src_b) + out_b + scratch_b + x_b
 
 
 def build_device_product_tiles_t(pt, dtype=np.float32, device=None):
@@ -1201,63 +1192,65 @@ def stack_device_product_tiles_t(devs: list) -> DeviceProductTilesT:
     )
 
 
+# tiles one inner grid step processes: 16 tiles = a (128, 128) block of
+# the 2D value/src views. gb*s8 % 16 == 0 always (gb*s_pad % 128 == 0 by
+# construction => gb*s8 % 16 == 0), so FUSED_P1_TILE_UNROLL | gb*s8.
+FUSED_P1_TILE_UNROLL = 16
+
+
 def _kernel_products_t(
     meta_ref,  # [nt] int32 window start row
-    vals_ref,  # (tps, 8, 128), tile order (m, gb, s8)
-    src_ref,  # (tps/2, 16, 128)
+    vals_ref,  # (u*8, 128) — this inner step's u tiles
+    src_ref,  # (u*8, 128) int16
     x_ref,  # (x_rows, 128) whole x in VMEM
-    out_ref,  # (m*128, gb*s_pad) — this step's transposed PT blocks
-    scratch_ref,  # (gb*s_pad, 128) f32 VMEM staging
+    out_ref,  # (m*128, gb*s_pad) — this OUTER step's transposed PT blocks
+    scratch_ref,  # (gb*s_pad, 128) f32 VMEM staging, persists across grid
     *,
     m,
     s8,
     gb,
     wr,
 ):
-    """The (bb, k1) sweep is a lax.fori_loop over tiles, not a Python
-    unroll: at production tile counts (~100-200 tiles/step) the unrolled
-    body's per-op lowering nests jaxpr_subcomp past the REMOTE
-    compiler's Python recursion limit (axon lowers out-of-process, so
-    sys.setrecursionlimit here cannot help — measured RecursionError at
-    112 and 208 tiles/step). Rolled, the lowering depth is constant in
-    tps. Inside the loop every tile access is a dynamic SECOND-MINOR
-    pl.ds on a 2D view (the x-window pattern): dynamic LEADING-index
-    loads on 3D refs lower through a per-entry select expansion that
-    both recurses and would be catastrophically slow (measured: remote
-    compile crash). The build orders tiles (m, gb, s8) within a step so
-    the tile index is affine in the loop counter."""
+    """The tile sweep is a GRID dimension, not an in-kernel loop. Both
+    loop formulations fail to lower for real TPUs (bisected on the v5e,
+    BASELINE.md round 5): a Python unroll at production tile counts
+    (~100-200/step) nests Mosaic's per-op lowering past the REMOTE
+    compiler's recursion limit (axon lowers out-of-process, so
+    sys.setrecursionlimit here cannot help), and a lax.fori_loop trips a
+    Mosaic internal verifier bug on tpu.dynamic_gather inside a loop
+    region ("'arith.muli' op requires the same type for all operands").
+    Grid dims sidestep both: the body traces ONCE with a constant
+    16-tile unroll (FUSED_P1_TILE_UNROLL) and every gather sits in
+    straight-line code — the exact shape of the unfused phase-1 kernel
+    that lowers and runs today. Each (outer, cb) pair stages its gb*s8
+    product tiles into the persistent VMEM scratch across the inner
+    steps; the LAST inner step flushes the stack through whole
+    (128, 128) transposes (the native crossbar shape — gb*s_pad is a
+    multiple of 128 by construction) into the out block, whose index map
+    is constant over the inner dims so Pallas keeps it resident."""
     step = pl.program_id(0)
-    tps = gb * m * s8
+    cb = pl.program_id(1)
+    t = pl.program_id(2)
+    u = FUSED_P1_TILE_UNROLL
     gbs8 = gb * s8
-    base = step * tps
+    base = (step * m + cb) * gbs8 + t * u
 
-    for cb in range(m):
-        q0 = cb * gbs8  # tiles of this chunk group are contiguous
+    for k in range(u):
+        w = meta_ref[base + k]
+        packed = src_ref[pl.ds(k * TILE_J, TILE_J), :].astype(jnp.int32)
+        lane_tab = jnp.bitwise_and(packed, LANES - 1)
+        sub_tab = jnp.bitwise_and(jnp.right_shift(packed, 7), 63)
+        v = vals_ref[pl.ds(k * TILE_J, TILE_J), :]
+        window = x_ref[pl.ds(w, wr), :]
+        g = _gather_window(window, sub_tab, lane_tab, wr)
+        scratch_ref[pl.ds((t * u + k) * TILE_J, TILE_J), :] = v * g
 
-        def tile_body(t, carry, q0=q0):
-            q = q0 + t
-            w = meta_ref[base + q]
-            # src16 rows: tile pair q//2 at 16 sublanes, half q%2
-            packed = src_ref[
-                pl.ds((q // 2) * (2 * TILE_J) + (q % 2) * TILE_J,
-                      TILE_J), :,
-            ].astype(jnp.int32)
-            lane_tab = jnp.bitwise_and(packed, LANES - 1)
-            sub_tab = jnp.bitwise_and(jnp.right_shift(packed, 7), 63)
-            v = vals_ref[pl.ds(q * TILE_J, TILE_J), :]
-            window = x_ref[pl.ds(w, wr), :]
-            g = _gather_window(window, sub_tab, lane_tab, wr)
-            scratch_ref[pl.ds(t * TILE_J, TILE_J), :] = v * g
-            return carry
-
-        jax.lax.fori_loop(0, gbs8, tile_body, 0)
-        # gb*s_pad is a multiple of 128 by construction, so the staged
-        # (gb*s_pad, 128) stack transposes as whole (128, 128) slices —
-        # the native crossbar shape
-        for t in range((gbs8 * TILE_J) // LANES):
+    @pl.when(t == gbs8 // u - 1)
+    def _():
+        for i in range((gbs8 * TILE_J) // LANES):
             out_ref[
-                pl.ds(cb * LANES, LANES), pl.ds(t * LANES, LANES)
-            ] = scratch_ref[pl.ds(t * LANES, LANES), :].T
+                pl.ds(cb * LANES, LANES), pl.ds(i * LANES, LANES)
+            ] = scratch_ref[pl.ds(i * LANES, LANES), :].T
 
 
 def spmv_product_tiles_t(
@@ -1277,34 +1270,39 @@ def spmv_product_tiles_t(
     m = dev.m_blocks
     s8 = dev.s8
     gb = dev.gb
-    tps = gb * m * s8
+    gbs8 = gb * s8
+    u = FUSED_P1_TILE_UNROLL
+    nti = gbs8 // u  # inner grid steps per (outer step, chunk group)
     gpb = dev.NCg_pad // m  # steps (row blocks) per column-block group
     NBg = dev.NB // gb
     ns = NBg * gpb
     s_pad = dev.s_pad
-    # 2D views: the kernel's rolled loop needs dynamic SECOND-MINOR
-    # indexing (see _kernel_products_t); nt*8 and nt/2*16 sublane rows
+    # 2D views: each inner grid step reads ONE (u*8, 128) block of u
+    # tiles (u=16 => native (128, 128) f32 / legal (128, 128) int16
+    # blocks); the block index is affine in the grid ids
     vals2d = dev.vals.reshape(-1, LANES)
     src2d = dev.src16.reshape(-1, LANES)
     vals_spec = pl.BlockSpec(
-        (tps * TILE_J, LANES), lambda s, m_: (s, Z),
+        (u * TILE_J, LANES),
+        lambda s, cb, t, m_: ((s * m + cb) * nti + t, Z),
         memory_space=pltpu.VMEM,
     )
     src_spec = pl.BlockSpec(
-        (tps * TILE_J, LANES), lambda s, m_: (s, Z),
+        (u * TILE_J, LANES),
+        lambda s, cb, t, m_: ((s * m + cb) * nti + t, Z),
         memory_space=pltpu.VMEM,
     )
     x_spec = pl.BlockSpec(
-        x2.shape, lambda s, m_: (Z, Z), memory_space=pltpu.VMEM
+        x2.shape, lambda s, cb, t, m_: (Z, Z), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (m * LANES, gb * s_pad),
-        lambda s, m_: (s % gpb, s // gpb),
+        lambda s, cb, t, m_: (s % gpb, s // gpb),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ns,),
+        grid=(ns, m, nti),
         in_specs=[vals_spec, src_spec, x_spec],
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((gb * s_pad, LANES), jnp.float32)],
