@@ -22,6 +22,8 @@ import warnings
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def run(n_rows: int, avg: int) -> int:
     from uspmv_tpu.config import Config

@@ -1200,10 +1200,12 @@ FUSED_P1_TILE_UNROLL = 16
 
 def _kernel_products_t(
     meta_ref,  # [nt] int32 window start row
-    vals_ref,  # (u*8, 128) — this inner step's u tiles
+    ot1_ref,  # [n_steps] int32 out-block row index per flat step
+    ot2_ref,  # [n_steps] int32 out-block col index per flat step
+    vals_ref,  # (u*8, 128) — this step's u tiles
     src_ref,  # (u*8, 128) int16
     x_ref,  # (x_rows, 128) whole x in VMEM
-    out_ref,  # (m*128, gb*s_pad) — this OUTER step's transposed PT blocks
+    out_ref,  # (m*128, gb*s_pad) — transposed PT blocks, VMEM-resident
     scratch_ref,  # (gb*s_pad, 128) f32 VMEM staging, persists across grid
     *,
     m,
@@ -1211,29 +1213,42 @@ def _kernel_products_t(
     gb,
     wr,
 ):
-    """The tile sweep is a GRID dimension, not an in-kernel loop. Both
-    loop formulations fail to lower for real TPUs (bisected on the v5e,
+    """The tile sweep is the GRID, not an in-kernel loop. Three
+    formulations fail to lower for real TPUs (bisected on the v5e,
     BASELINE.md round 5): a Python unroll at production tile counts
-    (~100-200/step) nests Mosaic's per-op lowering past the REMOTE
-    compiler's recursion limit (axon lowers out-of-process, so
-    sys.setrecursionlimit here cannot help), and a lax.fori_loop trips a
-    Mosaic internal verifier bug on tpu.dynamic_gather inside a loop
-    region ("'arith.muli' op requires the same type for all operands").
-    Grid dims sidestep both: the body traces ONCE with a constant
-    16-tile unroll (FUSED_P1_TILE_UNROLL) and every gather sits in
-    straight-line code — the exact shape of the unfused phase-1 kernel
-    that lowers and runs today. Each (outer, cb) pair stages its gb*s8
-    product tiles into the persistent VMEM scratch across the inner
-    steps; the LAST inner step flushes the stack through whole
-    (128, 128) transposes (the native crossbar shape — gb*s_pad is a
-    multiple of 128 by construction) into the out block, whose index map
-    is constant over the inner dims so Pallas keeps it resident."""
-    step = pl.program_id(0)
-    cb = pl.program_id(1)
-    t = pl.program_id(2)
+    (~100-200/step) nests Mosaic's per-op lowering past the Python
+    recursion limit; a lax.fori_loop trips a Mosaic verifier bug on
+    tpu.dynamic_gather inside a loop region ("'arith.muli' op requires
+    the same type for all operands"); and ANY arithmetic inside a
+    BlockSpec index map under jax_enable_x64 (which this package turns
+    on for f64 host I/O) recurses infinitely in Mosaic's
+    convert_element_type rule — the weak-i64 literals the arithmetic
+    promotes produce an i64->i32 convert whose lowering helper re-emits
+    itself. Hence: a FLAT 1D grid where the vals/src block index IS the
+    step id (the build already orders tiles step-major), the out block
+    index comes from two tiny prefetched SMEM tables (the proven
+    mixed-tile pattern, spmv_mixed_tiles), and the body — where
+    arithmetic lowers fine — derives (cb, t) from the step id with a
+    constant FUSED_P1_TILE_UNROLL-tile unroll so every gather sits in
+    straight-line code. Each chunk group stages its gb*s8 product tiles
+    into the persistent VMEM scratch; the last inner position flushes
+    the stack through whole (128, 128) transposes (the native crossbar
+    shape — gb*s_pad is a multiple of 128 by construction) into the out
+    block, whose table-mapped index is constant across the m*nti
+    consecutive steps so Pallas keeps it resident."""
+    q = pl.program_id(0)
     u = FUSED_P1_TILE_UNROLL
     gbs8 = gb * s8
-    base = (step * m + cb) * gbs8 + t * u
+    nti = gbs8 // u
+    # raw lax.rem/div on strong-i32 operands, NOT jnp's %/'//': the jnp
+    # wrappers promote through weak-i64 literals under jax_enable_x64
+    # and the resulting i64->i32 convert infinitely recurses in Mosaic's
+    # convert_element_type lowering (same bug the index maps hit)
+    t = jax.lax.rem(q, jnp.int32(nti))  # position within the tile sweep
+    cb = jax.lax.rem(  # chunk group within the resident out block
+        jax.lax.div(q, jnp.int32(nti)), jnp.int32(m)
+    )
+    base = q * u  # meta is tile-ordered: gbs8 = nti*u makes this exact
 
     for k in range(u):
         w = meta_ref[base + k]
@@ -1245,7 +1260,7 @@ def _kernel_products_t(
         g = _gather_window(window, sub_tab, lane_tab, wr)
         scratch_ref[pl.ds((t * u + k) * TILE_J, TILE_J), :] = v * g
 
-    @pl.when(t == gbs8 // u - 1)
+    @pl.when(t == nti - 1)
     def _():
         for i in range((gbs8 * TILE_J) // LANES):
             out_ref[
@@ -1277,32 +1292,41 @@ def spmv_product_tiles_t(
     NBg = dev.NB // gb
     ns = NBg * gpb
     s_pad = dev.s_pad
-    # 2D views: each inner grid step reads ONE (u*8, 128) block of u
-    # tiles (u=16 => native (128, 128) f32 / legal (128, 128) int16
-    # blocks); the block index is affine in the grid ids
+    # FLAT 1D grid: one step per 16-tile block, in build order, so the
+    # vals/src block index IS the step id (u=16 => native (128, 128) f32
+    # / legal (128, 128) int16 blocks). The out block index comes from
+    # two tiny prefetched tables — index maps must stay arithmetic-free:
+    # under jax_enable_x64 any index-map arithmetic hits an infinite
+    # recursion in Mosaic's convert_element_type lowering (see kernel
+    # docstring); table lookups by a bare program id are the proven
+    # pattern (spmv_mixed_tiles)
+    n_steps = ns * m * nti
+    sidx = np.arange(n_steps, dtype=np.int32) // (m * nti)
+    ot1 = (sidx % gpb).astype(np.int32)  # out row-block per step
+    ot2 = (sidx // gpb).astype(np.int32)  # out col-block per step
     vals2d = dev.vals.reshape(-1, LANES)
     src2d = dev.src16.reshape(-1, LANES)
     vals_spec = pl.BlockSpec(
         (u * TILE_J, LANES),
-        lambda s, cb, t, m_: ((s * m + cb) * nti + t, Z),
+        lambda q, m_, o1_, o2_: (q, Z),
         memory_space=pltpu.VMEM,
     )
     src_spec = pl.BlockSpec(
         (u * TILE_J, LANES),
-        lambda s, cb, t, m_: ((s * m + cb) * nti + t, Z),
+        lambda q, m_, o1_, o2_: (q, Z),
         memory_space=pltpu.VMEM,
     )
     x_spec = pl.BlockSpec(
-        x2.shape, lambda s, cb, t, m_: (Z, Z), memory_space=pltpu.VMEM
+        x2.shape, lambda q, m_, o1_, o2_: (Z, Z), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (m * LANES, gb * s_pad),
-        lambda s, cb, t, m_: (s % gpb, s // gpb),
+        lambda q, m_, o1_, o2_: (o1_[q], o2_[q]),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(ns, m, nti),
+        num_scalar_prefetch=3,
+        grid=(n_steps,),
         in_specs=[vals_spec, src_spec, x_spec],
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((gb * s_pad, LANES), jnp.float32)],
@@ -1317,7 +1341,7 @@ def spmv_product_tiles_t(
             (dev.NCg_pad * LANES, dev.NB * s_pad), jnp.float32
         ),
         interpret=interpret,
-    )(dev.meta, vals2d, src2d, x2)
+    )(dev.meta, jnp.asarray(ot1), jnp.asarray(ot2), vals2d, src2d, x2)
 
 
 def _kernel_mixed(

@@ -396,24 +396,20 @@ def build_tstream(
     NC = pt.n_chunks
     NPT = NC * pt.NB * pt.s_pad
     if fused is None:
-        # the fused phase-1+2 kernel is lane-legal and layout-verified
-        # (tests/test_mosaic_lint.py) but cannot currently lower for
-        # real TPUs: unrolled, Mosaic's per-op lowering recurses past
-        # Python limits at production tile counts (RecursionError at
-        # the 500k bench geometries even with recursionlimit=1e5, and
-        # axon compiles out-of-process so the limit can't be raised
-        # there); rolled as a lax.fori_loop, a single
-        # tpu.dynamic_gather (ops/gather_primitive.py) inside the loop
-        # body trips a Mosaic internal verifier bug ("'arith.muli' op
-        # requires the same type for all operands" — reproduced with
-        # sublane-only and lane-only gathers at int16 AND int32 index
-        # tables; dynamic 2nd-minor loads/stores, SMEM scalar reads and
-        # astype in a fori body all compile clean in isolation, so the
-        # blocker is the gather op inside a loop region, not our index
-        # arithmetic). The unfused phase 1 + XLA
-        # transpose is the measured configuration (23.4/35.1 GFLOP/s,
-        # BASELINE.md round 5), so fused stays opt-in until the
-        # upstream lowering accepts one of the two forms.
+        # the fused phase-1+2 kernel LOWERS AND RUNS on real TPUs since
+        # the round-5 flat-grid reformulation (tile sweep as the grid,
+        # table-mapped out blocks, lax.rem/div body arithmetic — see
+        # _kernel_products_t's docstring for the three upstream Mosaic
+        # pitfalls it sidesteps), but it is MEASURED SLOWER than the
+        # unfused phase 1 + XLA transpose on the v5e: 20.8 vs 23.7
+        # GFLOP/s on RandomImbalanced-500k (spmv_bench.jsonl
+        # tstream_fused_probe rows, 2026-08-19) — the in-kernel
+        # (128,128) crossbar transposes plus the finer-grained grid
+        # cost more than the 52 MB/iter transpose round trip they
+        # remove, and the fused device build is ~4x slower (95 s vs
+        # 22 s). Unfused therefore stays the default; fused remains
+        # opt-in (USPMV_TSTREAM_FUSED=1) for re-evaluation on hardware
+        # where the crossbar/HBM ratio differs.
         import os
 
         fused = bool(os.environ.get("USPMV_TSTREAM_FUSED")) and (
@@ -587,7 +583,7 @@ def build_tstream_shards(
 
     fused_c = bool(_os.environ.get("USPMV_TSTREAM_FUSED")) and (
         product_tiles_t_vmem_bytes(s_pad_c, n_loc) <= FUSED_P1_VMEM_BUDGET
-    )  # same policy as the single-chip build (trace-recursion limits)
+    )  # same policy as the single-chip build (fused measured slower)
     if fused_c:
         p1 = stack_device_product_tiles_t(
             [build_device_product_tiles_t(pt, dtype=dtype) for pt in pts]
