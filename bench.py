@@ -66,6 +66,42 @@ def _emit(record: dict) -> None:
         pass  # read-only checkout must not lose the stdout record
 
 
+def arm_watchdog(deadline_s: float, partial: dict, emit, _exit=None):
+    """Hard-deadline guard for a TPU tunnel that hangs MID-RUN.
+
+    Observed 2026-08-19 (round 5): backend init succeeded, the tunnel then
+    degraded, and a block_until_ready inside the headline bench blocked
+    for 30+ minutes — the process would have died to the driver's timeout
+    with NO JSON line at all.  A daemon timer cannot un-hang the runtime
+    thread, but it CAN still print whatever was measured before the hang
+    (the callers update ``partial`` in place after every metric) and
+    ``os._exit`` so the driver sees a clean, parseable record.  Returns
+    the timer; cancel it on normal completion.
+    """
+    import threading
+
+    if _exit is None:
+        _exit = os._exit
+
+    def _fire() -> None:
+        rec = dict(partial)
+        rec.setdefault("value", None)
+        rec.setdefault("unit", "GFLOP/s")
+        rec.setdefault("vs_baseline", None)
+        rec["error"] = (
+            f"tpu-hung-mid-run: still blocked after {deadline_s:.0f}s "
+            "(partial metrics reported)"
+        )
+        emit(rec)
+        sys.stdout.flush()
+        _exit(0)
+
+    t = threading.Timer(deadline_s, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> int:
     # Acquire the backend FIRST, with bounded retry: one tunnel flap must
     # degrade to a parseable JSON record, not a traceback (BENCH_r03.json
@@ -75,15 +111,24 @@ def main() -> int:
         devices_with_retry,
     )
 
+    partial = {
+        "metric": "scs_spmv_gflops (C=1024 lane tiles, sp, Laplace3D-128^3)",
+        "value": None,
+        "unit": "GFLOP/s",
+        "vs_baseline": None,
+    }
+    watchdog = arm_watchdog(
+        float(os.environ.get("USPMV_BENCH_HARD_DEADLINE_S", 2700)),
+        partial,
+        _emit,
+    )
+
     try:
         devices_with_retry()
     except BackendUnavailableError as e:
+        watchdog.cancel()
         _emit({
-            "metric": "scs_spmv_gflops (C=1024 lane tiles, sp, "
-                      "Laplace3D-128^3)",
-            "value": None,
-            "unit": "GFLOP/s",
-            "vs_baseline": None,
+            **partial,
             "error": "tpu-unavailable",
             "detail": str(e)[:300],
         })
@@ -112,12 +157,9 @@ def main() -> int:
         op = SpmvOperator.from_mtx(cfg, mtx)
         res = bench_spmv(op, warmup=20, start_iters=64)
     except Exception as e:
+        watchdog.cancel()
         _emit({
-            "metric": "scs_spmv_gflops (C=1024 lane tiles, sp, "
-                      "Laplace3D-128^3)",
-            "value": None,
-            "unit": "GFLOP/s",
-            "vs_baseline": None,
+            **partial,
             "error": "headline-bench-failed",
             "detail": f"{type(e).__name__}: {str(e)[:300]}",
         })
@@ -129,6 +171,18 @@ def main() -> int:
     ref_bytes = 8.0 * op.nnz + 2 * 4.0 * op.n_rows
     t_ref = ref_bytes / (0.8 * roof * 1e9)
     baseline_gflops = 2.0 * op.nnz / t_ref / 1e9
+
+    # the headline is in the bag: from here on even a mid-extras tunnel
+    # hang reports it (the watchdog emits `partial` as-is)
+    partial.update({
+        "metric": "scs_spmv_gflops (C=1024 lane tiles, sp, "
+                  f"Laplace3D-128^3, {device.device_kind})",
+        "value": round(res.perf_gflops, 2),
+        "vs_baseline": round(res.perf_gflops / baseline_gflops, 4),
+        "effective_gbps": round(res.effective_gbps, 2),
+        "n_iterations": res.n_iterations,
+        "platform": res.platform,
+    })
 
     # secondary metrics on SuiteSparse-structure + gather-hostile matrices
     # (VERDICT r1 items 2/4); reported inside the same JSON line.
@@ -144,7 +198,7 @@ def main() -> int:
     def _over_budget() -> bool:
         return _time.monotonic() - _t0 > _budget_s
 
-    extras = {}
+    extras = partial  # extras land incrementally; a hang reports them
     from uspmv_tpu.io.generators import banded_imbalanced, fem_tet3d
 
     from uspmv_tpu.io.generators import powerlaw_cols, random_imbalanced
@@ -241,19 +295,8 @@ def main() -> int:
         except Exception as e:
             extras["ap_dp_sp_96_gflops"] = f"error: {str(e)[:120]}"
 
-    _emit(
-        {
-            "metric": "scs_spmv_gflops (C=1024 lane tiles, sp, "
-            f"Laplace3D-128^3, {device.device_kind})",
-            "value": round(res.perf_gflops, 2),
-            "unit": "GFLOP/s",
-            "vs_baseline": round(res.perf_gflops / baseline_gflops, 4),
-            "effective_gbps": round(res.effective_gbps, 2),
-            "n_iterations": res.n_iterations,
-            "platform": res.platform,
-            **extras,
-        }
-    )
+    watchdog.cancel()
+    _emit(dict(partial))
     return 0
 
 

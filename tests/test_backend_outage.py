@@ -126,6 +126,49 @@ def test_bench_py_emits_parseable_json_on_hang(tmp_path):
     assert "init hang" in rec["detail"]
 
 
+def _load_bench_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # top level is pure defs, no jax import
+    return mod
+
+
+def test_watchdog_emits_partial_on_midrun_hang():
+    """A tunnel that hangs AFTER backend init (observed live 2026-08-19:
+    the headline block_until_ready blocked 30+ min) must still produce
+    the driver's JSON record with everything measured so far."""
+    import time
+
+    bench = _load_bench_module()
+    records, exits = [], []
+    partial = {"metric": "m", "value": 185.3, "unit": "GFLOP/s",
+               "vs_baseline": 1.29}
+    bench.arm_watchdog(0.2, partial, records.append, _exit=exits.append)
+    # a metric landing after arming but before the hang is reported
+    partial["fem_tet3d_55_gflops"] = 118.4
+    time.sleep(1.0)
+    assert exits == [0]
+    (rec,) = records
+    assert rec["value"] == 185.3
+    assert rec["fem_tet3d_55_gflops"] == 118.4
+    assert rec["error"].startswith("tpu-hung-mid-run")
+
+
+def test_watchdog_cancel_on_normal_completion():
+    import time
+
+    bench = _load_bench_module()
+    records, exits = [], []
+    t = bench.arm_watchdog(0.2, {"metric": "m"}, records.append,
+                           _exit=exits.append)
+    t.cancel()
+    time.sleep(0.5)
+    assert records == [] and exits == []
+
+
 def test_devices_with_retry_bounded(tmp_path, monkeypatch):
     """In-process: retry budget respected and the error is typed."""
     monkeypatch.setenv("USPMV_TPU_INIT_ATTEMPTS", "3")
