@@ -66,40 +66,60 @@ def _emit(record: dict) -> None:
         pass  # read-only checkout must not lose the stdout record
 
 
-def arm_watchdog(deadline_s: float, partial: dict, emit, _exit=None):
-    """Hard-deadline guard for a TPU tunnel that hangs MID-RUN.
+class Watchdog:
+    """Progress-based guard for a TPU tunnel that hangs MID-RUN.
 
-    Observed 2026-08-19 (round 5): backend init succeeded, the tunnel then
-    degraded, and a block_until_ready inside the headline bench blocked
-    for 30+ minutes — the process would have died to the driver's timeout
-    with NO JSON line at all.  A daemon timer cannot un-hang the runtime
-    thread, but it CAN still print whatever was measured before the hang
-    (the callers update ``partial`` in place after every metric) and
-    ``os._exit`` so the driver sees a clean, parseable record.  Returns
-    the timer; cancel it on normal completion.
+    Observed 2026-08-19 (round 5): backend init succeeded, the tunnel
+    then degraded, and a block_until_ready inside the headline bench
+    blocked for 30+ minutes — the process would have died to the
+    driver's timeout with NO JSON line at all.  Backend *init* hangs are
+    already bounded (runtime/backend.devices_with_retry); this covers
+    everything after.
+
+    The timer re-arms on every :meth:`progress` call (each landed
+    metric), so a healthy-but-slow run never fires while a hang fires
+    within one phase deadline of the last progress.  A daemon timer
+    cannot un-hang the runtime thread, but it CAN still print whatever
+    was measured before the hang (callers update ``partial`` in place)
+    and ``os._exit`` so the driver sees a clean, parseable record.
     """
-    import threading
 
-    if _exit is None:
-        _exit = os._exit
+    def __init__(self, phase_deadline_s: float, partial: dict, emit,
+                 _exit=None):
+        import threading
 
-    def _fire() -> None:
-        rec = dict(partial)
+        self._threading = threading
+        self._deadline = phase_deadline_s
+        self._partial = partial
+        self._emit = emit
+        self._exit = os._exit if _exit is None else _exit
+        self._timer = None
+        self.progress()
+
+    def _fire(self) -> None:
+        rec = dict(self._partial)
         rec.setdefault("value", None)
         rec.setdefault("unit", "GFLOP/s")
         rec.setdefault("vs_baseline", None)
         rec["error"] = (
-            f"tpu-hung-mid-run: still blocked after {deadline_s:.0f}s "
+            f"tpu-hung-mid-run: no progress for {self._deadline:.0f}s "
             "(partial metrics reported)"
         )
-        emit(rec)
+        self._emit(rec)
         sys.stdout.flush()
-        _exit(0)
+        self._exit(0)
 
-    t = threading.Timer(deadline_s, _fire)
-    t.daemon = True
-    t.start()
-    return t
+    def progress(self) -> None:
+        """A metric landed — re-arm the phase timer."""
+        if self._timer is not None:
+            self._timer.cancel()
+        self._timer = self._threading.Timer(self._deadline, self._fire)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def cancel(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
 
 
 def main() -> int:
@@ -117,22 +137,24 @@ def main() -> int:
         "unit": "GFLOP/s",
         "vs_baseline": None,
     }
-    watchdog = arm_watchdog(
-        float(os.environ.get("USPMV_BENCH_HARD_DEADLINE_S", 2700)),
-        partial,
-        _emit,
-    )
 
     try:
         devices_with_retry()
     except BackendUnavailableError as e:
-        watchdog.cancel()
         _emit({
             **partial,
             "error": "tpu-unavailable",
             "detail": str(e)[:300],
         })
         return 0
+
+    # init succeeded; from here a tunnel hang would block forever inside
+    # some block_until_ready — the watchdog guarantees the JSON record
+    watchdog = Watchdog(
+        float(os.environ.get("USPMV_BENCH_PHASE_DEADLINE_S", 600)),
+        partial,
+        _emit,
+    )
 
     import jax
 
@@ -183,6 +205,7 @@ def main() -> int:
         "n_iterations": res.n_iterations,
         "platform": res.platform,
     })
+    watchdog.progress()
 
     # secondary metrics on SuiteSparse-structure + gather-hostile matrices
     # (VERDICT r1 items 2/4); reported inside the same JSON line.
@@ -230,6 +253,7 @@ def main() -> int:
             extras[name + "_gflops"] = round(r2.perf_gflops, 2)
         except Exception as e:  # a flap mid-extras must not erase the
             extras[name + "_gflops"] = f"error: {str(e)[:120]}"  # headline
+        watchdog.progress()
 
     # solve mode on the reference's own bundled matrix class: every
     # matrix in /root/reference/matrices is launch-bound at SpMV scale
@@ -261,6 +285,7 @@ def main() -> int:
             extras["solve_bcsstk13_impl"] = rb.impl
         except Exception as e:
             extras["solve_bcsstk13_gflops"] = f"error: {str(e)[:120]}"
+        watchdog.progress()
 
     # adaptive precision — the reference's headline feature
     # (ap_kernels.hpp, AP reporting main.cpp:895-905) measured on chip:
@@ -279,6 +304,7 @@ def main() -> int:
             )
         except Exception as e:
             extras["ap_sp_hp_gflops"] = f"error: {str(e)[:120]}"
+        watchdog.progress()
     if not _over_budget():
         try:
             from uspmv_tpu.io.generators import laplace3d as _l3d

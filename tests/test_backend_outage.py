@@ -146,7 +146,7 @@ def test_watchdog_emits_partial_on_midrun_hang():
     records, exits = [], []
     partial = {"metric": "m", "value": 185.3, "unit": "GFLOP/s",
                "vs_baseline": 1.29}
-    bench.arm_watchdog(0.2, partial, records.append, _exit=exits.append)
+    bench.Watchdog(0.2, partial, records.append, _exit=exits.append)
     # a metric landing after arming but before the hang is reported
     partial["fem_tet3d_55_gflops"] = 118.4
     time.sleep(1.0)
@@ -157,14 +157,31 @@ def test_watchdog_emits_partial_on_midrun_hang():
     assert rec["error"].startswith("tpu-hung-mid-run")
 
 
+def test_watchdog_progress_rearms_phase_timer():
+    """A healthy-but-slow run keeps making progress and must never fire,
+    even when its TOTAL runtime exceeds the phase deadline."""
+    import time
+
+    bench = _load_bench_module()
+    records, exits = [], []
+    wd = bench.Watchdog(0.4, {"metric": "m"}, records.append,
+                        _exit=exits.append)
+    for _ in range(4):  # total 0.8 s > deadline; each phase 0.2 s < it
+        time.sleep(0.2)
+        wd.progress()
+    wd.cancel()
+    time.sleep(0.6)
+    assert records == [] and exits == []
+
+
 def test_watchdog_cancel_on_normal_completion():
     import time
 
     bench = _load_bench_module()
     records, exits = [], []
-    t = bench.arm_watchdog(0.2, {"metric": "m"}, records.append,
-                           _exit=exits.append)
-    t.cancel()
+    wd = bench.Watchdog(0.2, {"metric": "m"}, records.append,
+                        _exit=exits.append)
+    wd.cancel()
     time.sleep(0.5)
     assert records == [] and exits == []
 
