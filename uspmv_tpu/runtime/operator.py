@@ -875,11 +875,16 @@ class SpmvOperator:
         # residual then passes the 3-pass gates. Reference requirement:
         # CRS graceful degradation on scattered columns
         # (kernels.hpp:22-63); the mechanism is TPU-first.
-        HUB_MAX_COLS = 4096  # 32 gather-window rows of hub x
-        HUB_MIN_FRAC = 0.04  # below this a 4th kernel isn't worth it
+        # defaults swept on a v5e (BASELINE.md round 5 hub sweep); env
+        # overrides exist for re-tuning on other chips
+        import os as _os
+
+        HUB_MAX_COLS = int(_os.environ.get("USPMV_HUB_MAX_COLS", 4096))
+        HUB_MIN_FRAC = float(_os.environ.get("USPMV_HUB_MIN_FRAC", 0.04))
+        HUB_MULT = float(_os.environ.get("USPMV_HUB_MULT", 8))
         counts_col = np.bincount(mtx.J, minlength=mtx.n_cols)
         mean_c = max(mtx.nnz / max(mtx.n_cols, 1), 1.0)
-        cand = np.flatnonzero(counts_col > 8 * mean_c)
+        cand = np.flatnonzero(counts_col > HUB_MULT * mean_c)
         hub_cols = None
         if cand.size:
             cand = cand[np.argsort(-counts_col[cand], kind="stable")]
